@@ -68,19 +68,19 @@ def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
-    """Keep only local maxima in a 3x3 neighborhood (ties broken toward the
-    lexicographically-first pixel via a strict comparison against shifted
-    copies on one side)."""
-    neigh = []
+    """Keep only local maxima in a 3x3 neighborhood. Ties are broken
+    lexicographically (a pixel must be strictly greater than its earlier
+    neighbors and >= its later neighbors), so plateaus yield one peak."""
+    earlier_max = None
+    later_max = None
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            neigh.append(_shift2d(score, dy, dx))
-    nmax = neigh[0]
-    for n in neigh[1:]:
-        nmax = jnp.maximum(nmax, n)
-    # strict > on earlier neighbors is approximated by >= against max plus a
-    # tiny index-based tiebreak noise — in practice FAST scores rarely tie
-    # across adjacent maxima after float arithmetic.
-    return jnp.where(score >= nmax, score, 0.0)
+            n = _shift2d(score, dy, dx)
+            if (dy, dx) < (0, 0):
+                earlier_max = n if earlier_max is None else jnp.maximum(earlier_max, n)
+            else:
+                later_max = n if later_max is None else jnp.maximum(later_max, n)
+    keep = (score > earlier_max) & (score >= later_max)
+    return jnp.where(keep, score, 0.0)

@@ -1,0 +1,272 @@
+"""MapState: the device-resident SLAM map and its functional update ops.
+
+Replaces the reference's Map/KeyFrame/MapPoint object graph (src/Map.cc,
+src/KeyFrame.cc, src/MapPoint.cc) with fixed-capacity arrays:
+
+- keyframe slot k holds pose + the full feature batch of the frame that
+  created it (reference KeyFrame keeps mvKeysUn/mDescriptors the same way);
+- ``kf_mp`` maps (kf, feature) -> map-point slot (-1 = none) and is the ONLY
+  association storage; MP->KF observation lists, covisibility weights
+  (KeyFrame::UpdateConnections, KeyFrame.cc:490-621) and BA observation
+  blocks are all derived from it by masked reductions;
+- erasure (SetBadFlag, KeyFrame.cc:722-864) is a cleared validity bit; slots
+  are never reused within a session, matching the reference's monotonically
+  increasing ids;
+- ``kf_pose_locked`` mirrors the reference's ``mbPoseLock`` server-wins rule
+  (KeyFrame.cc:178-220): locked poses are only overwritten by global
+  optimization results, never by odometry updates.
+
+Identity: slot index == local id. For collaboration each map also stores
+``kf_agent``/``mp_agent`` giving the reference's (clientId, id) idpair
+(include/Datatypes.h:25) as (agent, slot).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from multi_orbslam3_tpu.frontend.extractor import FrameFeatures
+
+NO_MP = -1
+
+
+class MapState(NamedTuple):
+    # --- keyframes ---
+    kf_pose: jnp.ndarray         # (K, 4, 4) T_cw
+    kf_valid: jnp.ndarray        # (K,) bool
+    kf_timestamp: jnp.ndarray    # (K,) float32
+    kf_agent: jnp.ndarray        # (K,) int32 owning agent
+    kf_parent: jnp.ndarray       # (K,) int32 spanning-tree parent (-1 root)
+    kf_pose_locked: jnp.ndarray  # (K,) bool server-correction lock
+    kf_uv: jnp.ndarray           # (K, N, 2) undistorted keypoints
+    kf_desc: jnp.ndarray         # (K, N, 8) uint32
+    kf_level: jnp.ndarray        # (K, N) int32
+    kf_angle: jnp.ndarray        # (K, N) float32
+    kf_feat_valid: jnp.ndarray   # (K, N) bool
+    kf_mp: jnp.ndarray           # (K, N) int32 map-point slot or NO_MP
+    # --- map points ---
+    mp_pos: jnp.ndarray          # (P, 3)
+    mp_valid: jnp.ndarray        # (P,) bool
+    mp_agent: jnp.ndarray        # (P,) int32
+    mp_desc: jnp.ndarray         # (P, 8) uint32 representative descriptor
+    mp_normal: jnp.ndarray       # (P, 3) mean viewing direction
+    mp_min_dist: jnp.ndarray     # (P,) scale-invariance range
+    mp_max_dist: jnp.ndarray     # (P,)
+    mp_ref_kf: jnp.ndarray       # (P,) int32 reference keyframe slot
+    mp_found: jnp.ndarray        # (P,) int32 found counter
+    mp_visible: jnp.ndarray      # (P,) int32 visible counter
+    # --- counters ---
+    n_kf: jnp.ndarray            # () int32 next free KF slot
+    n_mp: jnp.ndarray           # () int32 next free MP slot
+
+    @property
+    def max_kf(self) -> int:
+        return self.kf_pose.shape[0]
+
+    @property
+    def max_mp(self) -> int:
+        return self.mp_pos.shape[0]
+
+    @property
+    def n_feat(self) -> int:
+        return self.kf_uv.shape[1]
+
+
+def empty_map(max_kf: int, max_mp: int, n_feat: int) -> MapState:
+    f32, i32 = jnp.float32, jnp.int32
+    return MapState(
+        kf_pose=jnp.tile(jnp.eye(4, dtype=f32), (max_kf, 1, 1)),
+        kf_valid=jnp.zeros(max_kf, bool),
+        kf_timestamp=jnp.zeros(max_kf, f32),
+        kf_agent=jnp.zeros(max_kf, i32),
+        kf_parent=jnp.full((max_kf,), -1, i32),
+        kf_pose_locked=jnp.zeros(max_kf, bool),
+        kf_uv=jnp.zeros((max_kf, n_feat, 2), f32),
+        kf_desc=jnp.zeros((max_kf, n_feat, 8), jnp.uint32),
+        kf_level=jnp.zeros((max_kf, n_feat), i32),
+        kf_angle=jnp.zeros((max_kf, n_feat), f32),
+        kf_feat_valid=jnp.zeros((max_kf, n_feat), bool),
+        kf_mp=jnp.full((max_kf, n_feat), NO_MP, i32),
+        mp_pos=jnp.zeros((max_mp, 3), f32),
+        mp_valid=jnp.zeros(max_mp, bool),
+        mp_agent=jnp.zeros(max_mp, i32),
+        mp_desc=jnp.zeros((max_mp, 8), jnp.uint32),
+        mp_normal=jnp.zeros((max_mp, 3), f32),
+        mp_min_dist=jnp.zeros(max_mp, f32),
+        mp_max_dist=jnp.zeros(max_mp, f32),
+        mp_ref_kf=jnp.full((max_mp,), -1, i32),
+        mp_found=jnp.zeros(max_mp, i32),
+        mp_visible=jnp.zeros(max_mp, i32),
+        n_kf=jnp.int32(0),
+        n_mp=jnp.int32(0),
+    )
+
+
+@jax.jit
+def add_keyframe(m: MapState, feats: FrameFeatures, pose: jnp.ndarray,
+                 timestamp, mp_assoc: jnp.ndarray, parent,
+                 agent=0) -> tuple[MapState, jnp.ndarray]:
+    """Insert a keyframe at the next free slot.
+
+    mp_assoc: (N,) int32 map-point slot per feature (NO_MP where none) —
+    the tracking thread's current associations (reference CreateNewKeyFrame,
+    src/Tracking.cc:2952). Returns (new_map, kf_slot).
+    """
+    k = m.n_kf
+    in_cap = k < m.max_kf
+    k_safe = jnp.minimum(k, m.max_kf - 1)
+    sel = lambda new, old: jnp.where(in_cap, new, old)  # noqa: E731
+
+    m = m._replace(
+        kf_pose=m.kf_pose.at[k_safe].set(sel(pose, m.kf_pose[k_safe])),
+        kf_valid=m.kf_valid.at[k_safe].set(sel(True, m.kf_valid[k_safe])),
+        kf_timestamp=m.kf_timestamp.at[k_safe].set(
+            sel(jnp.float32(timestamp), m.kf_timestamp[k_safe])),
+        kf_agent=m.kf_agent.at[k_safe].set(
+            sel(jnp.int32(agent), m.kf_agent[k_safe])),
+        kf_parent=m.kf_parent.at[k_safe].set(
+            sel(jnp.int32(parent), m.kf_parent[k_safe])),
+        kf_uv=m.kf_uv.at[k_safe].set(sel(feats.uv_und, m.kf_uv[k_safe])),
+        kf_desc=m.kf_desc.at[k_safe].set(sel(feats.desc, m.kf_desc[k_safe])),
+        kf_level=m.kf_level.at[k_safe].set(sel(feats.level, m.kf_level[k_safe])),
+        kf_angle=m.kf_angle.at[k_safe].set(sel(feats.angle, m.kf_angle[k_safe])),
+        kf_feat_valid=m.kf_feat_valid.at[k_safe].set(
+            sel(feats.valid, m.kf_feat_valid[k_safe])),
+        kf_mp=m.kf_mp.at[k_safe].set(sel(mp_assoc, m.kf_mp[k_safe])),
+        n_kf=jnp.where(in_cap, k + 1, k),
+    )
+    return m, jnp.where(in_cap, k, jnp.int32(-1))
+
+
+@jax.jit
+def add_mappoints(m: MapState, pos: jnp.ndarray, ok: jnp.ndarray,
+                  desc: jnp.ndarray, ref_kf, kf_a, feat_a: jnp.ndarray,
+                  kf_b, feat_b: jnp.ndarray, agent=0) -> tuple[MapState, jnp.ndarray]:
+    """Batch-insert up to B new map points observed in two keyframes
+    (reference LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:520).
+
+    pos: (B, 3) candidate positions; ok: (B,) creation mask; desc: (B, 8);
+    feat_a/feat_b: (B,) feature indices in kf_a / kf_b. Returns
+    (new_map, slots (B,) int32 with -1 where not created).
+    """
+    B = pos.shape[0]
+    # assign consecutive slots to the ok-entries
+    offset = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    slots = jnp.where(ok, m.n_mp + offset, NO_MP)
+    in_cap = (slots >= 0) & (slots < m.max_mp)
+    slots = jnp.where(in_cap, slots, NO_MP)
+    slot_safe = jnp.where(slots >= 0, slots, m.max_mp - 1)
+    write = slots >= 0
+
+    def upd(arr, val):
+        cur = arr[slot_safe]
+        shaped = jnp.where(
+            write.reshape((B,) + (1,) * (val.ndim - 1)), val, cur)
+        return arr.at[slot_safe].set(shaped)
+
+    cam_center = -jnp.einsum("ji,j->i", m.kf_pose[ref_kf, :3, :3],
+                             m.kf_pose[ref_kf, :3, 3])
+    view = pos - cam_center
+    dist = jnp.linalg.norm(view, axis=-1) + 1e-8
+    normal = view / dist[:, None]
+
+    m = m._replace(
+        mp_pos=upd(m.mp_pos, pos),
+        mp_valid=upd(m.mp_valid, jnp.ones(B, bool)),
+        mp_agent=upd(m.mp_agent, jnp.full((B,), agent, jnp.int32)),
+        mp_desc=upd(m.mp_desc, desc),
+        mp_normal=upd(m.mp_normal, normal),
+        mp_min_dist=upd(m.mp_min_dist, dist * 0.5),
+        mp_max_dist=upd(m.mp_max_dist, dist * 2.0),
+        mp_ref_kf=upd(m.mp_ref_kf, jnp.full((B,), ref_kf, jnp.int32)),
+        n_mp=jnp.minimum(m.n_mp + jnp.sum(ok.astype(jnp.int32)),
+                         jnp.int32(m.max_mp)),
+    )
+    # write associations into both keyframes
+    kfmp = m.kf_mp
+    kfmp = kfmp.at[kf_a, feat_a].set(jnp.where(write, slots, kfmp[kf_a, feat_a]))
+    kfmp = kfmp.at[kf_b, feat_b].set(jnp.where(write, slots, kfmp[kf_b, feat_b]))
+    return m._replace(kf_mp=kfmp), slots
+
+
+def covisibility_row(m: MapState, kf: jnp.ndarray) -> jnp.ndarray:
+    """Shared-map-point counts between keyframe `kf` and every other KF
+    (reference KeyFrame::UpdateConnections weight computation).
+
+    Returns (K,) int32. One-hot matmul over MP slots — MXU-shaped.
+    """
+    obs = kf_mp_mask(m)                     # (K, P) bool
+    row = obs[kf].astype(jnp.float32)       # (P,)
+    counts = obs.astype(jnp.float32) @ row  # (K,)
+    counts = counts.at[kf].set(0.0)
+    return counts.astype(jnp.int32)
+
+
+def covisibility_matrix(m: MapState) -> jnp.ndarray:
+    """(K, K) shared-observation counts. One big matmul — cheap on MXU at
+    K<=512, P<=16384 (~4 GFLOP in f32)."""
+    obs = kf_mp_mask(m).astype(jnp.float32)
+    W = obs @ obs.T
+    return (W - jnp.diag(jnp.diag(W))).astype(jnp.int32)
+
+
+def kf_mp_mask(m: MapState) -> jnp.ndarray:
+    """(K, P) bool: keyframe k observes map point p. Derived from kf_mp."""
+    K, N = m.kf_mp.shape
+    P = m.max_mp
+    valid = (m.kf_mp >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    slot = jnp.where(valid, m.kf_mp, 0)
+    onehot = jnp.zeros((K, P), bool)
+    kf_idx = jnp.broadcast_to(jnp.arange(K)[:, None], (K, N))
+    onehot = onehot.at[kf_idx.reshape(-1), slot.reshape(-1)].max(
+        valid.reshape(-1))
+    return onehot & m.mp_valid[None, :]
+
+
+@jax.jit
+def erase_keyframe(m: MapState, kf) -> MapState:
+    """Tombstone a keyframe (reference KeyFrame::SetBadFlag). Associations
+    from this KF are dropped; children re-parent to the erased KF's parent."""
+    parent = m.kf_parent[kf]
+    new_parent = jnp.where(m.kf_parent == kf, parent, m.kf_parent)
+    return m._replace(
+        kf_valid=m.kf_valid.at[kf].set(False),
+        kf_mp=m.kf_mp.at[kf].set(jnp.full((m.n_feat,), NO_MP, jnp.int32)),
+        kf_parent=new_parent)
+
+
+@jax.jit
+def erase_mappoints(m: MapState, slots: jnp.ndarray) -> MapState:
+    """Tombstone map points (reference MapPoint::SetBadFlag): clear validity
+    and remove every KF association. slots: (B,) with -1 entries ignored."""
+    ok = slots >= 0
+    safe = jnp.where(ok, slots, 0)
+    mp_valid = m.mp_valid.at[safe].set(jnp.where(ok, False, m.mp_valid[safe]))
+    # clear kf_mp entries pointing at erased slots
+    erased = jnp.zeros((m.max_mp + 1,), bool).at[safe].set(ok)
+    point = jnp.where(m.kf_mp >= 0, m.kf_mp, m.max_mp)
+    kf_mp = jnp.where(erased[point], NO_MP, m.kf_mp)
+    return m._replace(mp_valid=mp_valid, kf_mp=kf_mp)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def replace_mappoint(m: MapState, old: jnp.ndarray, new: jnp.ndarray) -> MapState:
+    """Fuse duplicates: all references to `old` become `new` (reference
+    MapPoint::Replace, src/MapPoint.cc:367). old/new: (B,) slot arrays."""
+    ok = (old >= 0) & (new >= 0)
+    old_safe = jnp.where(ok, old, m.max_mp)
+    lut = jnp.arange(m.max_mp + 1, dtype=jnp.int32)
+    lut = lut.at[old_safe].set(jnp.where(ok, new, lut[old_safe]))
+    point = jnp.where(m.kf_mp >= 0, m.kf_mp, m.max_mp)
+    remapped = lut[point]
+    kf_mp = jnp.where(m.kf_mp >= 0, jnp.where(remapped == m.max_mp, NO_MP,
+                                              remapped), NO_MP)
+    mp_valid = m.mp_valid.at[jnp.where(ok, old, 0)].set(
+        jnp.where(ok, False, m.mp_valid[jnp.where(ok, old, 0)]))
+    found = m.mp_found.at[jnp.where(ok, new, 0)].add(
+        jnp.where(ok, m.mp_found[jnp.where(ok, old, 0)], 0))
+    return m._replace(kf_mp=kf_mp, mp_valid=mp_valid, mp_found=found)

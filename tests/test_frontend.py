@@ -64,9 +64,12 @@ class TestExtractor:
         uv_gt = uv_gt[vis]
         uv = np.asarray(feats.uv)[np.asarray(feats.valid)]
         # each detected keypoint should be within a few px of some landmark
+        # landmarks render as 9x9 textured patches — corners can fire anywhere
+        # inside, so "near" means within the patch half-diagonal (~6.4 px)
+        # plus coarse-level quantization.
         d = np.linalg.norm(uv[:, None, :] - uv_gt[None, :, :], axis=-1).min(axis=1)
-        frac_close = float((d < 4.0).mean())
-        assert frac_close > 0.5, f"only {frac_close:.2f} keypoints near landmarks"
+        frac_close = float((d < 8.0).mean())
+        assert frac_close > 0.6, f"only {frac_close:.2f} keypoints near landmarks"
 
     def test_descriptors_match_across_frames(self, small_config, seq):
         f0 = extractor.extract_features(jnp.asarray(seq.images[0]), small_config)
