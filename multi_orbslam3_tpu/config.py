@@ -93,6 +93,7 @@ class MapConfig:
 class TrackingConfig:
     """Tracking state-machine thresholds (reference src/Tracking.cc)."""
 
+    init_min_matches: int = 60       # two-view bootstrap match gate
     min_matches_motion: int = 20     # TrackWithMotionModel acceptance
     min_matches_refkf: int = 15
     min_matches_localmap: int = 30

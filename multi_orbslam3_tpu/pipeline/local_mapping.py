@@ -1,0 +1,165 @@
+"""Local mapping: new-landmark triangulation + windowed BA + writeback.
+
+Replaces LocalMapping::RunClient (reference src/LocalMapping.cc:140-379):
+ProcessNewKeyFrame / CreateNewMapPoints (:396/:520) and the
+LocalBundleAdjustment call (Optimizer.cc:1810) become two jitted stages
+invoked by the host whenever tracking inserts a keyframe. Fixed caps
+everywhere: the covisibility window is a static-size slot list, window
+landmarks are compacted with size-bounded jnp.unique, and BA outliers are
+erased by masked scatter instead of g2o edge removal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from multi_orbslam3_tpu.frontend import matcher
+from multi_orbslam3_tpu.geometry import camera as cam
+from multi_orbslam3_tpu.geometry import se3, so3, triangulation
+from multi_orbslam3_tpu.map import mapstate as ms
+from multi_orbslam3_tpu.map.mapstate import NO_MP, MapState
+from multi_orbslam3_tpu.opt import local_ba
+from multi_orbslam3_tpu.pipeline.tracking import level_inv_sigma2
+
+
+class TriangulationOut(NamedTuple):
+    map: MapState
+    n_created: jnp.ndarray
+
+
+@jax.jit
+def triangulate_with_neighbor(m: MapState, kf_new, kf_nbr,
+                              K: cam.PinholeK) -> TriangulationOut:
+    """Create landmarks from features unmatched in both keyframes
+    (reference CreateNewMapPoints, src/LocalMapping.cc:520): mutual
+    descriptor match restricted by the epipolar constraint of the known
+    relative pose, then checked DLT triangulation."""
+    free_new = m.kf_feat_valid[kf_new] & (m.kf_mp[kf_new] == NO_MP)
+    free_nbr = m.kf_feat_valid[kf_nbr] & (m.kf_mp[kf_nbr] == NO_MP)
+    res = matcher.match_mutual(
+        m.kf_desc[kf_new], free_new, m.kf_desc[kf_nbr], free_nbr,
+        max_dist=matcher.TH_LOW, ratio=0.8,
+        angle1=m.kf_angle[kf_new], angle2=m.kf_angle[kf_nbr])
+
+    T_new = m.kf_pose[kf_new]
+    T_nbr = m.kf_pose[kf_nbr]
+    # epipolar gate: essential matrix of the relative pose nbr->new
+    T_rel = se3.compose(T_new, se3.inverse(T_nbr))   # nbr-cam -> new-cam
+    E = so3.hat(se3.translation(T_rel)) @ se3.rotation(T_rel)
+    idx_safe = jnp.where(res.idx >= 0, res.idx, 0)
+    uv_new = m.kf_uv[kf_new]
+    uv_nbr = m.kf_uv[kf_nbr][idx_safe]
+    b_new = cam.unproject(K, uv_new)
+    b_nbr = cam.unproject(K, uv_nbr)
+    # Sampson error on the unit plane, threshold ~1.5 px
+    Eb = b_nbr @ E.T
+    Etb = b_new @ E
+    num = jnp.sum(b_new * Eb, axis=-1) ** 2
+    den = Eb[:, 0] ** 2 + Eb[:, 1] ** 2 + Etb[:, 0] ** 2 + Etb[:, 1] ** 2
+    f = (K.fx + K.fy) * 0.5
+    epi_ok = num / (den + 1e-12) < (1.5 / f) ** 2
+
+    N = uv_new.shape[0]
+    p, tri_ok = triangulation.triangulate_and_check(
+        jnp.broadcast_to(T_new, (N, 4, 4)), jnp.broadcast_to(T_nbr, (N, 4, 4)),
+        b_new, b_nbr, K, uv_new, uv_nbr)
+    ok = (res.idx >= 0) & epi_ok & tri_ok
+    m2, slots = ms.add_mappoints(
+        m, p, ok, m.kf_desc[kf_new], kf_new, kf_new,
+        jnp.arange(N, dtype=jnp.int32), kf_nbr, idx_safe)
+    return TriangulationOut(map=m2, n_created=jnp.sum(ok.astype(jnp.int32)))
+
+
+class LocalBAOut(NamedTuple):
+    map: MapState
+    chi2: jnp.ndarray
+    n_window: jnp.ndarray
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_window", "n_fixed", "n_points",
+                                    "scale_factor", "iters"))
+def local_bundle_adjustment(m: MapState, kf_center, K: cam.PinholeK, *,
+                            n_window: int = 16, n_fixed: int = 8,
+                            n_points: int = 4096, scale_factor: float = 1.2,
+                            iters: int = 8,
+                            covis_threshold: int = 15) -> LocalBAOut:
+    """Windowed BA around `kf_center` (reference LocalBundleAdjustment,
+    Optimizer.cc:1810): the window is the top covisible keyframes; the next
+    ring is fixed anchors; window landmarks are every point those KFs
+    observe (capped). Results write back into the map; observations
+    classified as outliers are detached (reference erases the g2o edges and
+    the MapPoint observations)."""
+    Kcap, N = m.kf_mp.shape
+    covis = ms.covisibility_row(m, kf_center)            # (Kcap,)
+    covis = jnp.where(m.kf_valid, covis, -1)
+    covis = covis.at[kf_center].set(jnp.int32(1 << 20))  # center always first
+    order = jnp.argsort(-covis)                          # descending
+    win = order[:n_window]                               # optimized KFs
+    anchors = order[n_window:n_window + n_fixed]
+    win_ok = covis[win] >= covis_threshold
+    win_ok = win_ok.at[0].set(True)
+    anchor_ok = covis[anchors] >= 1
+    # the oldest window KF is clamped if no anchors exist (gauge); locked
+    # poses are always fixed (server-correction precedence)
+    any_anchor = jnp.any(anchor_ok)
+    slots = jnp.concatenate([win, anchors])              # (Kw,) global kf ids
+    slot_ok = jnp.concatenate([win_ok, anchor_ok])
+    fixed = jnp.concatenate([
+        jnp.zeros(n_window, bool), jnp.ones(n_fixed, bool)])
+    fixed = fixed | m.kf_pose_locked[slots] | ~slot_ok
+    # gauge guard: fix the lowest-id valid window KF when no anchor is active
+    oldest = jnp.argmin(jnp.where(win_ok, win, 1 << 20))
+    fixed = fixed.at[oldest].set(jnp.where(any_anchor, fixed[oldest], True))
+
+    Kw = n_window + n_fixed
+    # window landmarks: everything observed by window KFs, capped at n_points
+    obs_mp = jnp.where(slot_ok[:, None], m.kf_mp[slots], NO_MP)  # (Kw, N)
+    uniq = jnp.unique(obs_mp, size=n_points, fill_value=NO_MP)
+    pt_global = uniq                                      # (Pw,) sorted, -1 first
+    pt_ok = pt_global >= 0
+    # LUT global slot -> window-local index
+    lut = jnp.full((m.max_mp + 1,), -1, jnp.int32)
+    lut = lut.at[jnp.where(pt_ok, pt_global, m.max_mp)].set(
+        jnp.where(pt_ok, jnp.arange(n_points, dtype=jnp.int32), -1))
+
+    flat_mp = obs_mp.reshape(-1)
+    local_pt = lut[jnp.where(flat_mp >= 0, flat_mp, m.max_mp)]
+    obs_valid = (flat_mp >= 0) & (local_pt >= 0) & \
+        m.kf_feat_valid[slots].reshape(-1)
+    obs = local_ba.BAObservations(
+        kf=jnp.repeat(jnp.arange(Kw, dtype=jnp.int32), N),
+        pt=jnp.where(local_pt >= 0, local_pt, 0),
+        uv=m.kf_uv[slots].reshape(-1, 2),
+        inv_sigma2=level_inv_sigma2(m.kf_level[slots].reshape(-1),
+                                    scale_factor),
+        valid=obs_valid)
+
+    poses0 = m.kf_pose[slots]
+    points0 = m.mp_pos[jnp.where(pt_ok, pt_global, 0)]
+    res = local_ba.bundle_adjust(poses0, fixed, points0, obs, K, iters=iters)
+
+    # --- write back (parked scatters go to a padded scratch row so they can
+    # never collide with genuine writes) ---
+    write_kf = slot_ok & ~fixed
+    kf_pose_ext = jnp.concatenate([m.kf_pose, jnp.zeros((1, 4, 4))], axis=0)
+    kf_pose = kf_pose_ext.at[jnp.where(write_kf, slots, Kcap)].set(
+        res.poses)[:Kcap]
+    mp_pos_ext = jnp.concatenate([m.mp_pos, jnp.zeros((1, 3))], axis=0)
+    mp_pos = mp_pos_ext.at[jnp.where(pt_ok, pt_global, m.max_mp)].set(
+        res.points)[:m.max_mp]
+    # detach outlier observations
+    out_mask = obs_valid & ~res.inliers
+    kf_flat = jnp.repeat(slots, N)
+    feat_flat = jnp.tile(jnp.arange(N, dtype=jnp.int32), Kw)
+    kf_mp_ext = jnp.concatenate(
+        [m.kf_mp, jnp.zeros((1, N), jnp.int32)], axis=0)
+    kf_mp = kf_mp_ext.at[jnp.where(out_mask, kf_flat, Kcap),
+                         feat_flat].set(NO_MP)[:Kcap]
+    m2 = m._replace(kf_pose=kf_pose, mp_pos=mp_pos, kf_mp=kf_mp)
+    return LocalBAOut(map=m2, chi2=res.chi2,
+                      n_window=jnp.sum(win_ok.astype(jnp.int32)))

@@ -1,0 +1,238 @@
+"""Monocular SLAM system: host state machine over the jitted stages.
+
+Replaces ClientSystem + the Tracking thread's state ladder (reference
+src/ClientSystem.cc, Tracking::Track states NOT_INITIALIZED / OK /
+RECENTLY_LOST / LOST, src/Tracking.cc:1527-2061) and the LocalMapping
+thread (keyframes are processed synchronously after insertion — the
+pipeline-parallel analog of the reference's mapping queue is round-2 work
+once the collaborative scheduler lands).
+
+Device work is all in jitted stages (extract / track / triangulate / BA);
+this class only makes scalar decisions per frame.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from multi_orbslam3_tpu.config import SystemConfig
+from multi_orbslam3_tpu.frontend import extractor, matcher
+from multi_orbslam3_tpu.frontend.extractor import FrameFeatures
+from multi_orbslam3_tpu.geometry import camera as cam
+from multi_orbslam3_tpu.geometry import se3
+from multi_orbslam3_tpu.map import mapstate as ms
+from multi_orbslam3_tpu.pipeline import initializer, local_mapping, tracking
+
+
+class TrackState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    RECENTLY_LOST = 2
+    LOST = 3
+
+
+class MonoSlam:
+    """Single-agent monocular SLAM (the reference client with loop closing
+    disabled — exactly how its clients run, src/LocalMapping.cc:40-45)."""
+
+    def __init__(self, config: SystemConfig, agent_id: int = 0):
+        self.cfg = config
+        self.agent = agent_id
+        self.K = cam.intrinsics_from_config(config.camera)
+        self.m = ms.empty_map(config.map.max_keyframes, config.map.max_mappoints,
+                              config.orb.n_features)
+        self.state = TrackState.NOT_INITIALIZED
+        self.T_cur = np.eye(4, dtype=np.float32)
+        self.T_vel = np.eye(4, dtype=np.float32)
+        self.ref_kf = 0
+        self.frames_since_kf = 0
+        self.lost_count = 0
+        self.frame_id = -1
+        self._init_feats: Optional[FrameFeatures] = None
+        self._init_ts = 0.0
+        self._rng_key = jnp.asarray(np.array([0, agent_id + 7], np.uint32))
+        # per-frame trajectory log: (timestamp, T_cw 4x4)
+        self.trajectory: List[Tuple[float, np.ndarray]] = []
+        self.stats = {"kf_inserted": 0, "mp_created": 0, "frames_tracked": 0,
+                      "frames_lost": 0}
+
+    # ------------------------------------------------------------------
+    def process_frame(self, img: np.ndarray, timestamp: float) -> TrackState:
+        self.frame_id += 1
+        feats = extractor.extract_features(jnp.asarray(img, jnp.float32),
+                                           self.cfg)
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._try_initialize(feats, timestamp)
+        else:
+            self._track(feats, timestamp)
+        self.trajectory.append((timestamp, np.asarray(self.T_cur)))
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self, feats: FrameFeatures, ts: float) -> None:
+        if self._init_feats is None:
+            self._init_feats = feats
+            self._init_ts = ts
+            return
+        f0 = self._init_feats
+        res = matcher.match_mutual(f0.desc, f0.valid, feats.desc, feats.valid,
+                                   max_dist=matcher.TH_LOW, ratio=0.9,
+                                   angle1=f0.angle, angle2=feats.angle)
+        n_matches = int(res.count)
+        if n_matches < self.cfg.tracking.init_min_matches:
+            self._init_feats = feats   # restart from the newer frame
+            self._init_ts = ts
+            return
+        idx_safe = jnp.where(res.idx >= 0, res.idx, 0)
+        uv2 = feats.uv_und[idx_safe]
+        init = initializer.initialize_two_view(
+            self.K, f0.uv_und, uv2, res.idx >= 0, self._rng_key)
+        if not bool(init.ok):
+            return
+
+        # scale gauge: median scene depth -> 1 (reference
+        # CreateInitialMapMonocular, src/Tracking.cc:2257)
+        pts = np.asarray(init.points)
+        ok = np.asarray(init.point_ok)
+        med = float(np.median(pts[ok, 2])) if ok.any() else 1.0
+        scale = 1.0 / max(med, 1e-6)
+        pts_s = jnp.asarray(pts * scale)
+        T1 = np.array(init.T_21)
+        T1[:3, 3] *= scale
+
+        n = self.cfg.orb.n_features
+        no_assoc = jnp.full((n,), ms.NO_MP, jnp.int32)
+        self.m, k0 = ms.add_keyframe(self.m, f0, jnp.eye(4), self._init_ts,
+                                     no_assoc, -1, self.agent)
+        self.m, k1 = ms.add_keyframe(self.m, feats, jnp.asarray(T1), ts,
+                                     no_assoc, k0, self.agent)
+        self.m, slots = ms.add_mappoints(
+            self.m, pts_s, init.point_ok & (res.idx >= 0), f0.desc,
+            k0, k0, jnp.arange(n, dtype=jnp.int32), k1, idx_safe,
+            self.agent)
+        # polish with a 2-KF BA (reference runs GlobalBA(20) on the init map)
+        out = local_mapping.local_bundle_adjustment(
+            self.m, k1, self.K, n_window=2, n_fixed=0,
+            n_points=self._ba_points(), scale_factor=self.cfg.orb.scale_factor,
+            iters=10)
+        self.m = out.map
+        self.T_cur = np.asarray(self.m.kf_pose[int(k1)])
+        self.T_vel = np.eye(4, dtype=np.float32)
+        self.ref_kf = int(k1)
+        self.frames_since_kf = 0
+        self.state = TrackState.OK
+        self.stats["kf_inserted"] += 2
+        self.stats["mp_created"] += int(jnp.sum(slots >= 0))
+
+    # ------------------------------------------------------------------
+    def _ba_points(self) -> int:
+        return min(self.cfg.local_mapping.local_ba_points,
+                   self.cfg.map.max_mappoints)
+
+    def _track(self, feats: FrameFeatures, ts: float) -> None:
+        c = self.cfg
+        T_pred = (self.T_vel @ self.T_cur).astype(np.float32)
+        res = tracking.track_frame(
+            self.m, feats, jnp.asarray(T_pred), self.K,
+            width=c.camera.width, height=c.camera.height,
+            scale_factor=c.orb.scale_factor, n_levels=c.orb.n_levels,
+            radius_coarse=c.tracking.search_radius)
+        n_in = int(res.n_inliers)
+
+        if n_in < c.tracking.min_matches_localmap:
+            # fallback: descriptor tracking against the reference keyframe
+            res2 = tracking.track_reference_kf(
+                self.m, jnp.int32(self.ref_kf), feats,
+                jnp.asarray(self.T_cur), self.K,
+                scale_factor=c.orb.scale_factor)
+            if int(res2.n_inliers) >= c.tracking.min_matches_refkf:
+                res, n_in = res2, int(res2.n_inliers)
+
+        if n_in >= c.tracking.min_matches_refkf:
+            T_new = np.asarray(res.pose)
+            self.T_vel = (T_new @ np.linalg.inv(self.T_cur)).astype(np.float32)
+            self.T_cur = T_new
+            self.state = TrackState.OK
+            self.lost_count = 0
+            self.frames_since_kf += 1
+            self.stats["frames_tracked"] += 1
+            if self._need_keyframe(n_in):
+                self._insert_keyframe(feats, res.feat_mp, ts)
+        else:
+            # RECENTLY_LOST: hold the motion model, give it a few frames
+            # (reference Tracking.cc:1691-1766 ladder, minus IMU predict)
+            self.lost_count += 1
+            self.stats["frames_lost"] += 1
+            self.T_cur = T_pred
+            self.state = (TrackState.RECENTLY_LOST
+                          if self.lost_count < c.tracking.relost_timeout
+                          else TrackState.LOST)
+
+    # ------------------------------------------------------------------
+    def _need_keyframe(self, n_inliers: int) -> bool:
+        c = self.cfg.tracking
+        if self.frames_since_kf < max(1, c.kf_min_interval):
+            return False
+        if self.frames_since_kf >= c.kf_max_interval:
+            return True
+        ref_tracked = int(jnp.sum(self.m.kf_mp[self.ref_kf] >= 0))
+        return n_inliers < c.kf_tracked_ratio * max(ref_tracked, 1) and \
+            n_inliers > 15
+
+    def _insert_keyframe(self, feats: FrameFeatures, feat_mp: jnp.ndarray,
+                         ts: float) -> None:
+        m, k_new = ms.add_keyframe(self.m, feats, jnp.asarray(self.T_cur), ts,
+                                   feat_mp, self.ref_kf, self.agent)
+        k = int(k_new)
+        if k < 0:   # capacity reached
+            return
+        self.m = m
+        # triangulate against several covisible neighbors: nearby KFs share
+        # many features but have tiny baselines; older ones supply parallax
+        # (the reference searches up to 20 neighbors,
+        # LocalMapping::CreateNewMapPoints src/LocalMapping.cc:520)
+        covis = ms.covisibility_row(self.m, jnp.int32(k))
+        covis_np = np.array(covis)
+        covis_np[k] = -1
+        n_nbrs = self.cfg.local_mapping.triangulation_neighbors
+        order = np.argsort(-covis_np)[:n_nbrs]
+        for nbr in order:
+            if covis_np[nbr] < 10:
+                break
+            tri = local_mapping.triangulate_with_neighbor(
+                self.m, jnp.int32(k), jnp.int32(int(nbr)), self.K)
+            self.m = tri.map
+            self.stats["mp_created"] += int(tri.n_created)
+        lm = self.cfg.local_mapping
+        n_window = min(lm.local_ba_kfs, self.cfg.map.max_keyframes // 2)
+        n_fixed = min(lm.local_ba_fixed_kfs,
+                      self.cfg.map.max_keyframes - n_window)
+        out = local_mapping.local_bundle_adjustment(
+            self.m, jnp.int32(k), self.K, n_window=n_window, n_fixed=n_fixed,
+            n_points=self._ba_points(),
+            scale_factor=self.cfg.orb.scale_factor,
+            iters=lm.local_ba_iters,
+            covis_threshold=self.cfg.map.covis_threshold)
+        self.m = out.map
+        self.T_cur = np.asarray(self.m.kf_pose[k])
+        self.ref_kf = k
+        self.frames_since_kf = 0
+        self.stats["kf_inserted"] += 1
+
+    # ------------------------------------------------------------------
+    def keyframe_trajectory(self) -> List[Tuple[float, np.ndarray]]:
+        """(timestamp, T_cw) per valid keyframe, ordered by slot id —
+        the reference's SaveKeyFrameTrajectoryEuRoC semantics."""
+        out = []
+        n = int(self.m.n_kf)
+        valid = np.asarray(self.m.kf_valid[:n])
+        ts = np.asarray(self.m.kf_timestamp[:n])
+        poses = np.asarray(self.m.kf_pose[:n])
+        for i in range(n):
+            if valid[i]:
+                out.append((float(ts[i]), poses[i]))
+        return out

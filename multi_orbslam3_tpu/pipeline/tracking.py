@@ -1,0 +1,149 @@
+"""Frame tracking: jitted projection-match + pose-opt steps.
+
+Replaces the reference Tracking thread's per-frame pipeline
+(Tracking::Track, src/Tracking.cc:1527-2061): TrackWithMotionModel
+(:2590) and TrackLocalMap (:2689) become one fused jitted step that
+matches the *entire* map against the frame with masked dense Hamming
+matrices (no feature grid, no covisibility-local-map gathering — at TPU
+scale, brute force over the fixed-capacity map is cheaper than sparse
+bookkeeping), runs two rounds of guided matching at shrinking radii with a
+pose optimization after each, and returns the per-feature landmark
+associations that the keyframe decision needs. TrackReferenceKeyFrame
+(:2461) is a separate jitted fallback using mutual descriptor matching.
+
+The LOST/RECENTLY_LOST state ladder and keyframe decision stay on the
+host (system.py) — they are scalar control flow at frame rate.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from multi_orbslam3_tpu.frontend import matcher
+from multi_orbslam3_tpu.frontend.extractor import FrameFeatures
+from multi_orbslam3_tpu.geometry import camera as cam
+from multi_orbslam3_tpu.geometry import se3
+from multi_orbslam3_tpu.map.mapstate import NO_MP, MapState
+from multi_orbslam3_tpu.opt import pose_opt
+
+
+class TrackResult(NamedTuple):
+    pose: jnp.ndarray       # (4, 4) optimized T_cw
+    feat_mp: jnp.ndarray    # (N,) int32 landmark slot per feature (NO_MP none)
+    n_inliers: jnp.ndarray  # () int32
+    n_matches: jnp.ndarray  # () int32 pre-optimization matches
+
+
+def level_inv_sigma2(level: jnp.ndarray, scale_factor: float) -> jnp.ndarray:
+    """Per-keypoint information: 1 / (scale^level)^2 (reference
+    Frame::mvInvLevelSigma2)."""
+    return jnp.power(jnp.float32(scale_factor),
+                     -2.0 * level.astype(jnp.float32))
+
+
+def _predict_levels(m: MapState, cam_center: jnp.ndarray,
+                    scale_factor: float, n_levels: int) -> jnp.ndarray:
+    """Predict the pyramid level a landmark should appear at from its
+    distance (reference MapPoint::PredictScale, src/MapPoint.cc:545-662)."""
+    dist = jnp.linalg.norm(m.mp_pos - cam_center[None, :], axis=-1)
+    ratio = jnp.maximum(m.mp_max_dist, 1e-6) / jnp.maximum(dist, 1e-6)
+    lv = jnp.log(jnp.maximum(ratio, 1e-6)) / jnp.log(scale_factor)
+    return jnp.clip(lv.astype(jnp.int32), 0, n_levels - 1)
+
+
+def _match_and_invert(m: MapState, T: jnp.ndarray, feats: FrameFeatures,
+                      K: cam.PinholeK, radius: float, width: int, height: int,
+                      scale_factor: float, n_levels: int, level_slack: int):
+    """Project all landmarks into pose T, match to frame features, return
+    per-feature landmark index (N,)."""
+    p_c = se3.apply(T[None], m.mp_pos)
+    uv_proj = cam.project(K, p_c)
+    cam_center = -jnp.einsum("ji,j->i", T[:3, :3], T[:3, 3])
+    proj_valid = (m.mp_valid & (p_c[..., 2] > 0.1)
+                  & cam.in_image(uv_proj, width, height))
+    # scale the search radius with the predicted level (reference does the
+    # same through mvScaleFactors[nPredictedLevel])
+    pred_lv = _predict_levels(m, cam_center, scale_factor, n_levels)
+    r = radius * jnp.power(jnp.float32(scale_factor),
+                           pred_lv.astype(jnp.float32))
+    res = matcher.match_by_projection(
+        uv_proj, proj_valid, m.mp_desc, feats.uv_und, feats.valid, feats.desc,
+        feats.level, r, pred_lv, max_dist=matcher.TH_HIGH, ratio=0.9,
+        level_slack=level_slack)
+    res = matcher.resolve_duplicate_targets(res, feats.uv_und.shape[0])
+    # invert MP->feature into feature->MP (invalid rows park at slot N)
+    n_feat = feats.uv_und.shape[0]
+    tgt = jnp.where(res.idx >= 0, res.idx, n_feat)
+    feat_mp_ext = jnp.full((n_feat + 1,), NO_MP, jnp.int32).at[tgt].set(
+        jnp.where(res.idx >= 0,
+                  jnp.arange(m.mp_pos.shape[0], dtype=jnp.int32), NO_MP))
+    return feat_mp_ext[:n_feat]
+
+
+def _pose_from_assoc(m: MapState, feats: FrameFeatures, feat_mp: jnp.ndarray,
+                     T_init: jnp.ndarray, K: cam.PinholeK,
+                     scale_factor: float):
+    mp_safe = jnp.where(feat_mp >= 0, feat_mp, 0)
+    p_world = m.mp_pos[mp_safe]
+    inv_s2 = level_inv_sigma2(feats.level, scale_factor)
+    mask = (feat_mp >= 0) & feats.valid
+    res = pose_opt.pose_optimization(T_init, K, p_world, feats.uv_und,
+                                     inv_s2, mask)
+    feat_mp_in = jnp.where(res.inliers, feat_mp, NO_MP)
+    return res.pose, feat_mp_in, res.n_inliers
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "scale_factor", "n_levels"))
+def track_frame(m: MapState, feats: FrameFeatures, T_pred: jnp.ndarray,
+                K: cam.PinholeK, *, width: int, height: int,
+                scale_factor: float, n_levels: int,
+                radius_coarse: float = 15.0,
+                radius_fine: float = 4.0) -> TrackResult:
+    """Two-round guided tracking: coarse match at the predicted pose,
+    optimize, re-match finely at the optimized pose, optimize again."""
+    feat_mp = _match_and_invert(m, T_pred, feats, K, radius_coarse,
+                                width, height, scale_factor, n_levels,
+                                level_slack=2)
+    n_matches = jnp.sum((feat_mp >= 0).astype(jnp.int32))
+    T1, feat_mp1, n1 = _pose_from_assoc(m, feats, feat_mp, T_pred, K,
+                                        scale_factor)
+    # round 2: tighter radius around the refined pose picks up more points
+    feat_mp2 = _match_and_invert(m, T1, feats, K, radius_fine,
+                                 width, height, scale_factor, n_levels,
+                                 level_slack=1)
+    # keep round-1 inlier associations where round 2 found nothing
+    feat_mp2 = jnp.where(feat_mp2 >= 0, feat_mp2, feat_mp1)
+    T2, feat_mp_f, n2 = _pose_from_assoc(m, feats, feat_mp2, T1, K,
+                                         scale_factor)
+    return TrackResult(pose=T2, feat_mp=feat_mp_f, n_inliers=n2,
+                       n_matches=n_matches)
+
+
+@functools.partial(jax.jit, static_argnames=("scale_factor",))
+def track_reference_kf(m: MapState, ref_kf: jnp.ndarray, feats: FrameFeatures,
+                       T_init: jnp.ndarray, K: cam.PinholeK,
+                       scale_factor: float = 1.2) -> TrackResult:
+    """Fallback when motion-model tracking fails (reference
+    TrackReferenceKeyFrame, src/Tracking.cc:2461): mutual-match the frame
+    against the reference keyframe's features, inherit its landmark
+    associations, optimize from the last pose."""
+    kf_desc = m.kf_desc[ref_kf]
+    kf_feat_valid = m.kf_feat_valid[ref_kf] & (m.kf_mp[ref_kf] >= 0)
+    res = matcher.match_mutual(feats.desc, feats.valid, kf_desc,
+                               kf_feat_valid, max_dist=matcher.TH_LOW,
+                               ratio=0.8, angle1=feats.angle,
+                               angle2=m.kf_angle[ref_kf])
+    kf_mp_row = m.kf_mp[ref_kf]
+    feat_mp = jnp.where(res.idx >= 0, kf_mp_row[jnp.where(
+        res.idx >= 0, res.idx, 0)], NO_MP)
+    n_matches = jnp.sum((feat_mp >= 0).astype(jnp.int32))
+    T, feat_mp_in, n_in = _pose_from_assoc(m, feats, feat_mp, T_init, K,
+                                           scale_factor)
+    return TrackResult(pose=T, feat_mp=feat_mp_in, n_inliers=n_in,
+                       n_matches=n_matches)
