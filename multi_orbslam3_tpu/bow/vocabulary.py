@@ -1,0 +1,152 @@
+"""Binary vocabulary tree, flattened for batched device lookup.
+
+Replaces DBoW2::TemplatedVocabulary (reference loads the stock ORBvoc
+k=10 L=6 text file, src/ClientSystem.cc:69-77). We *train* our own tree
+instead (hierarchical binary k-means with majority-vote centroids) since
+descriptors here come from our generated BRIEF pattern — a foreign
+vocabulary would not match their distribution anyway.
+
+Layout: per level l, a dense (k^l, k, 8) uint32 array of child centroids.
+Descriptor -> word: L gather+Hamming+argmin rounds, fully batched over N
+descriptors (the reference walks the tree per descriptor, scalar code).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Vocabulary:
+    levels: tuple                 # of jnp arrays: (k^l, k, 8) uint32 centroids
+    idf: jnp.ndarray              # (n_words,) float32 inverse document freq
+    branching: int
+    depth: int
+
+    @property
+    def n_words(self) -> int:
+        return self.branching ** self.depth
+
+
+# pytree registration: arrays are leaves, tree shape (branching/depth) is
+# static aux data so jitted callees can unroll the level loop
+jax.tree_util.register_pytree_node(
+    Vocabulary,
+    lambda v: ((v.levels, v.idf), (v.branching, v.depth)),
+    lambda aux, children: Vocabulary(levels=children[0], idf=children[1],
+                                     branching=aux[0], depth=aux[1]))
+
+
+def _popcount_np(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _majority_centroid(descs: np.ndarray) -> np.ndarray:
+    """(M, 8) uint32 -> (8,) uint32 bitwise majority vote."""
+    bits = np.unpackbits(descs.view(np.uint8), axis=-1)      # (M, 256)
+    maj = (bits.mean(axis=0) >= 0.5).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+def _kmeans_binary(descs: np.ndarray, k: int, rng: np.random.RandomState,
+                   iters: int = 6) -> np.ndarray:
+    """Binary k-means (Hamming metric, majority-vote centroids).
+    descs: (M, 8) uint32 -> (k, 8) uint32 centers."""
+    M = descs.shape[0]
+    if M == 0:
+        return rng.randint(0, 2 ** 32, (k, 8), dtype=np.uint32)
+    sel = rng.choice(M, size=min(k, M), replace=False)
+    centers = descs[sel].copy()
+    if centers.shape[0] < k:
+        pad = rng.randint(0, 2 ** 32, (k - centers.shape[0], 8), dtype=np.uint32)
+        centers = np.concatenate([centers, pad])
+    for _ in range(iters):
+        d = _popcount_np(descs[:, None, :] ^ centers[None, :, :])  # (M, k)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.sum() > 0:
+                centers[j] = _majority_centroid(descs[mask])
+    return centers
+
+
+def train_vocabulary(descriptors: np.ndarray, branching: int = 10,
+                     depth: int = 4, seed: int = 0,
+                     max_train: int = 60000) -> Vocabulary:
+    """Hierarchical binary k-means over a descriptor sample.
+    descriptors: (M, 8) uint32. Returns a device-resident Vocabulary."""
+    rng = np.random.RandomState(seed)
+    if descriptors.shape[0] > max_train:
+        descriptors = descriptors[
+            rng.choice(descriptors.shape[0], max_train, replace=False)]
+
+    levels: List[np.ndarray] = []
+    # recursively split; store per level a (k^l, k, 8) centroid table
+    groups = [descriptors]
+    for lv in range(depth):
+        table = np.zeros((len(groups), branching, 8), np.uint32)
+        next_groups: List[np.ndarray] = []
+        for gi, g in enumerate(groups):
+            centers = _kmeans_binary(g, branching, rng)
+            table[gi] = centers
+            if g.shape[0] > 0:
+                d = _popcount_np(g[:, None, :] ^ centers[None, :, :])
+                assign = d.argmin(axis=1)
+            else:
+                assign = np.zeros(0, np.int64)
+            for j in range(branching):
+                next_groups.append(g[assign == j])
+        levels.append(table)
+        groups = next_groups
+
+    # idf from training-word histogram (words never hit get idf of the max)
+    voc = Vocabulary(levels=tuple(jnp.asarray(t) for t in levels),
+                     idf=jnp.ones(branching ** depth, jnp.float32),
+                     branching=branching, depth=depth)
+    words = np.asarray(assign_words(voc, jnp.asarray(descriptors),
+                                    jnp.ones(descriptors.shape[0], bool)))
+    hist = np.bincount(words[words >= 0], minlength=branching ** depth)
+    n_docs = max(1, descriptors.shape[0])
+    idf = np.log(n_docs / np.maximum(hist, 1)).astype(np.float32)
+    return dataclasses.replace(voc, idf=jnp.asarray(idf))
+
+
+def default_vocabulary(branching: int = 10, depth: int = 4,
+                       seed: int = 7) -> Vocabulary:
+    """Vocabulary trained on synthetic-texture descriptors — the stand-in
+    for ORBvoc.txt when no training corpus is supplied."""
+    rng = np.random.RandomState(seed)
+    # random bit descriptors approximate the marginal BRIEF distribution
+    descs = rng.randint(0, 2 ** 32, (20000, 8), dtype=np.uint32)
+    return train_vocabulary(descs, branching, depth, seed)
+
+
+def assign_words(voc: Vocabulary, desc: jnp.ndarray,
+                 valid: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) uint32 -> (N,) int32 word ids (-1 for invalid slots).
+    Batched tree descent: L rounds of gather + Hamming argmin."""
+    N = desc.shape[0]
+    node = jnp.zeros((N,), jnp.int32)       # index within current level
+    for lv in range(voc.depth):
+        table = voc.levels[lv]              # (k^lv, k, 8)
+        cand = table[node]                  # (N, k, 8)
+        x = jnp.bitwise_xor(cand, desc[:, None, :])
+        d = jnp.sum(jax.lax.population_count(x), axis=-1)   # (N, k)
+        child = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        node = node * voc.branching + child
+    return jnp.where(valid, node, -1)
+
+
+def bow_vector(voc: Vocabulary, words: jnp.ndarray) -> jnp.ndarray:
+    """(N,) word ids -> (n_words,) L2-normalized tf-idf vector."""
+    ok = words >= 0
+    w = jnp.where(ok, words, 0)
+    tf = jnp.zeros((voc.n_words,), jnp.float32).at[w].add(
+        ok.astype(jnp.float32))
+    v = tf * voc.idf
+    return v / (jnp.linalg.norm(v) + 1e-8)

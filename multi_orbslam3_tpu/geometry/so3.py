@@ -44,31 +44,36 @@ def exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def log(R: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3, 3) -> (..., 3) rotation vector. Safe up to theta < pi - eps."""
+    """(..., 3, 3) -> (..., 3) rotation vector.
+
+    Autodiff-safe at the identity (pose-graph Jacobians are taken here):
+    theta comes from atan2(|skew|, cos) with the double-where guard on the
+    norm, and the small-angle branch is a polynomial in sin^2 only.
+    """
     tr = jnp.trace(R, axis1=-2, axis2=-1)
-    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    c = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
     w_skew = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    sin_t = jnp.sin(theta)
-    small = theta < _SMALL
-    # theta/sin(theta), Taylor for small theta
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0,
-                      theta / jnp.where(small, 1.0, sin_t + _EPS))
-    near_pi = theta > (jnp.pi - 1e-3)
-    # near pi: axis from diagonal of (R + I)/2 = axis axis^T near pi
+    s2 = jnp.sum(w_skew * w_skew, axis=-1)           # = sin^2(theta)
+    small = s2 < 1e-10
+    s_safe = jnp.sqrt(jnp.where(small, 1.0, s2))
+    theta = jnp.arctan2(s_safe, c)
+    # theta / sin(theta); near theta=0: 1 + theta^2/6 ~ 1 + s2/6
+    scale = jnp.where(small, 1.0 + s2 / 6.0, theta / s_safe)
+    w = scale[..., None] * w_skew
+
+    # near pi (sin ~ 0, cos < 0): axis from the diagonal of (R + I)/2
+    near_pi = small & (c < 0.0)
     diag = jnp.diagonal(R, axis1=-2, axis2=-1)
     axis2 = jnp.clip((diag + 1.0) * 0.5, 0.0, 1.0)
     axis = jnp.sqrt(axis2 + _EPS)
-    # fix signs from off-diagonal terms (largest-axis reference)
     k = jnp.argmax(axis2, axis=-1)
     signs = jnp.sign(jnp.take_along_axis(
         (R + jnp.swapaxes(R, -1, -2)) * 0.5, k[..., None, None].repeat(3, -2),
         axis=-1).squeeze(-1) + _EPS * jnp.ones_like(diag))
     axis_pi = axis * signs
     axis_pi = axis_pi / (jnp.linalg.norm(axis_pi, axis=-1, keepdims=True) + _EPS)
-    w = jnp.where(near_pi[..., None], theta[..., None] * axis_pi,
-                  scale[..., None] * w_skew)
-    return w
+    theta_pi = jnp.arctan2(jnp.sqrt(s2 + 1e-20), c)  # ~ pi in this branch
+    return jnp.where(near_pi[..., None], theta_pi[..., None] * axis_pi, w)
 
 
 def right_jacobian(w: jnp.ndarray) -> jnp.ndarray:

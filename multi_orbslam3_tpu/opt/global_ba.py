@@ -1,0 +1,153 @@
+"""Global bundle adjustment: implicit Schur complement + PCG.
+
+Replaces Optimizer::GlobalBundleAdjustemnt / the reference's GBA thread
+(src/Optimizer.cc:42-448, LoopClosing::RunGlobalBundleAdjustment
+:2619) at full-map scale, where local_ba.py's dense-E formulation would
+need O(K*P) memory. The reduced camera system S = Hcc - E C^-1 E^T is
+never materialized: PCG iterates S@x through observation-level
+gather/compute/scatter passes (each O(obs)), preconditioned by the
+damped camera diagonal blocks.
+
+Distribution: this is the "distributed Schur-complement reduction" of
+BASELINE.json. Observations are sharded across devices; every
+observation-level reduction ends in a psum over `axis_name` when given,
+so the same code runs single-chip (axis_name=None) or under
+shard_map/pjit across a pod slice with poses and landmarks replicated
+(SURVEY.md §2.9 axis 5: server-global optimization across agents' KFs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from multi_orbslam3_tpu.geometry import camera as cam
+from multi_orbslam3_tpu.geometry import se3
+from multi_orbslam3_tpu.opt import robust
+from multi_orbslam3_tpu.opt.local_ba import BAObservations, _obs_terms, _chi2
+
+
+class GBAResult(NamedTuple):
+    poses: jnp.ndarray
+    points: jnp.ndarray
+    chi2: jnp.ndarray
+
+
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "cg_iters", "axis_name"))
+def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
+                         points: jnp.ndarray, point_valid: jnp.ndarray,
+                         obs: BAObservations, K: cam.PinholeK,
+                         iters: int = 8, cg_iters: int = 40,
+                         chi2_th: float = robust.CHI2_MONO,
+                         axis_name: Optional[str] = None) -> GBAResult:
+    """poses: (Kc, 4, 4) replicated; points: (P, 3) replicated; obs: the
+    LOCAL observation shard. fixed: (Kc,) bool gauge/lock mask."""
+    Kc = poses.shape[0]
+    P = points.shape[0]
+    lam = 1e-4
+    free = (~fixed).astype(jnp.float32)
+
+    def gn_step(carry, _):
+        poses_, points_ = carry
+        r, J_cam, J_pt, behind = _obs_terms(poses_, points_, obs, K)
+        c2 = _chi2(r, obs.inv_sigma2)
+        w = robust.huber_weight(c2, chi2_th) * obs.inv_sigma2
+        w = jnp.where(obs.valid & ~behind, w, 0.0)
+        Jc_w = J_cam * w[:, None, None]
+        Jp_w = J_pt * w[:, None, None]
+
+        Hcc = _psum(jnp.zeros((Kc, 6, 6)).at[obs.kf].add(
+            jnp.einsum("ori,orj->oij", J_cam, Jc_w)), axis_name)
+        b_c = _psum(jnp.zeros((Kc, 6)).at[obs.kf].add(
+            jnp.einsum("ori,or->oi", Jc_w, r)), axis_name)
+        Hpp = _psum(jnp.zeros((P, 3, 3)).at[obs.pt].add(
+            jnp.einsum("ori,orj->oij", J_pt, Jp_w)), axis_name)
+        b_p = _psum(jnp.zeros((P, 3)).at[obs.pt].add(
+            jnp.einsum("ori,or->oi", Jp_w, r)), axis_name)
+
+        eye3 = jnp.eye(3)
+        pt_seen = (jnp.diagonal(Hpp, axis1=-2, axis2=-1).sum(-1) > 1e-9) \
+            & point_valid
+        Hpp_d = Hpp + lam * jnp.maximum(
+            jnp.diagonal(Hpp, axis1=-2, axis2=-1).mean(-1),
+            1e-3)[:, None, None] * eye3
+        Hpp_d = jnp.where(pt_seen[:, None, None], Hpp_d, eye3)
+        C_inv = jnp.linalg.inv(Hpp_d)
+
+        diag_damp = lam * jnp.maximum(
+            jnp.diagonal(Hcc, axis1=-2, axis2=-1).mean(-1),
+            1e-3)[:, None, None] * jnp.eye(6)
+        Hcc_d = Hcc + diag_damp
+
+        def Et_x(x):        # (Kc, 6) -> (P, 3):  E^T x, E^T = sum w Jp^T Jc
+            t = jnp.einsum("ori,oi->or", J_cam[..., :, :], x[obs.kf])  # (O,2)
+            u = jnp.einsum("ori,or->oi", Jp_w, t)                      # (O,3)
+            return _psum(jnp.zeros((P, 3)).at[obs.pt].add(u), axis_name)
+
+        def E_y(y):         # (P, 3) -> (Kc, 6)
+            t = jnp.einsum("ori,oi->or", J_pt, y[obs.pt])              # (O,2)
+            u = jnp.einsum("ori,or->oi", Jc_w, t)                      # (O,6)
+            return _psum(jnp.zeros((Kc, 6)).at[obs.kf].add(u), axis_name)
+
+        def S_mv(x):        # reduced-camera matvec with free-mask projection
+            x = x * free[:, None]
+            hx = jnp.einsum("kij,kj->ki", Hcc_d, x)
+            ex = E_y(jnp.einsum("pab,pb->pa", C_inv, Et_x(x)))
+            return (hx - ex) * free[:, None]
+
+        rhs = (b_c - E_y(jnp.einsum("pab,pb->pa", C_inv, b_p)))
+        rhs = -rhs * free[:, None]
+
+        # block-Jacobi preconditioner from damped camera blocks
+        M_inv = jnp.linalg.inv(Hcc_d + 1e-6 * jnp.eye(6))
+
+        def prec(x):
+            return jnp.einsum("kij,kj->ki", M_inv, x) * free[:, None]
+
+        # PCG, fixed iteration count
+        x0 = jnp.zeros((Kc, 6))
+        r0 = rhs - S_mv(x0)
+        z0 = prec(r0)
+        p0 = z0
+
+        def cg_body(_, st):
+            x, rr, z, p = st
+            Sp = S_mv(p)
+            denom = jnp.sum(p * Sp)
+            alpha = jnp.sum(rr * z) / jnp.where(
+                jnp.abs(denom) < 1e-12, 1e-12, denom)
+            x2 = x + alpha * p
+            r2 = rr - alpha * Sp
+            z2 = prec(r2)
+            beta = jnp.sum(r2 * z2) / jnp.maximum(jnp.sum(rr * z), 1e-12)
+            p2 = z2 + beta * p
+            return x2, r2, z2, p2
+
+        dc, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body,
+                                        (x0, r0, z0, p0))
+        dp = -jnp.einsum("pab,pb->pa", C_inv, b_p + Et_x(dc))
+        dp = jnp.where(pt_seen[:, None], dp, 0.0)
+        finite = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dp))
+        dc = jnp.where(finite, dc, 0.0)
+        dp = jnp.where(finite, dp, 0.0)
+        new_poses = se3.normalize(jax.vmap(se3.retract)(poses_, dc))
+        return (new_poses, points_ + dp), jnp.sum(jnp.where(
+            obs.valid, c2, 0.0))
+
+    (poses_f, points_f), chi2_hist = jax.lax.scan(
+        gn_step, (poses, points), None, length=iters)
+    r, _, _, behind = _obs_terms(poses_f, points_f, obs, K)
+    c2 = _chi2(r, obs.inv_sigma2)
+    n = jnp.maximum(_psum(jnp.sum((obs.valid & ~behind).astype(jnp.int32)),
+                          axis_name), 1)
+    chi2 = _psum(jnp.sum(jnp.where(obs.valid & ~behind, c2, 0.0)),
+                 axis_name) / n
+    return GBAResult(poses=poses_f, points=points_f, chi2=chi2)

@@ -1,0 +1,124 @@
+"""Sim(3) pose-graph optimization (essential graph).
+
+Replaces Optimizer::OptimizeEssentialGraph (reference src/Optimizer.cc:2413
+7-DoF; :2749 6-DoF; the 4-DoF inertial variant is a parameterization mask
+here instead of a separate vertex class): nodes are Sim3 poses, edges are
+relative-pose measurements from the spanning tree, strong-covisibility
+pairs, and loop/merge constraints.
+
+TPU formulation: per-edge residual r = log(S_ij * S_j * S_i^-1) with
+Jacobians from vmapped forward-mode autodiff at delta = 0 (14 columns of a
+7-vector — cheaper than hand-deriving the Sim3 right Jacobian and immune
+to its sign conventions); the normal system is assembled by scatter-add of
+7x7 blocks and solved dense — at the 512-KF cap that is a 3584^2 Cholesky,
+comfortably MXU territory.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from multi_orbslam3_tpu.geometry import sim3
+
+
+class PoseGraphEdges(NamedTuple):
+    """Fixed-capacity edge list. S_ij is the measured relative transform
+    satisfying S_ij = S_i * S_j^-1 at measurement time (so the residual
+    log(S_ij * S_j * S_i^-1) vanishes at consistency)."""
+
+    i: jnp.ndarray        # (E,) int32
+    j: jnp.ndarray        # (E,) int32
+    S_ij: jnp.ndarray     # (E, 13) packed Sim3 (sim3.stack layout)
+    weight: jnp.ndarray   # (E,) float32
+    valid: jnp.ndarray    # (E,) bool
+
+
+def make_edges(S_nodes: jnp.ndarray, i: jnp.ndarray, j: jnp.ndarray,
+               weight: jnp.ndarray, valid: jnp.ndarray) -> PoseGraphEdges:
+    """Measure current relative transforms between node pairs (the way the
+    reference builds spanning-tree/covisibility edges before correction)."""
+    Si = sim3.unstack(S_nodes[i])
+    Sj = sim3.unstack(S_nodes[j])
+    S_ij = sim3.compose(Si, sim3.inverse(Sj))
+    return PoseGraphEdges(i=i, j=j, S_ij=sim3.stack(S_ij), weight=weight,
+                          valid=valid)
+
+
+def _edge_residual(S_ij_flat, Si_flat, Sj_flat, di, dj):
+    Si = sim3.retract(sim3.unstack(Si_flat), di)
+    Sj = sim3.retract(sim3.unstack(Sj_flat), dj)
+    return sim3.log(sim3.compose(sim3.compose(sim3.unstack(S_ij_flat), Sj),
+                                 sim3.inverse(Si)))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "yaw_only"))
+def optimize_pose_graph(S_nodes: jnp.ndarray, fixed: jnp.ndarray,
+                        edges: PoseGraphEdges, iters: int = 15,
+                        fix_scale: bool | jnp.ndarray = False,
+                        yaw_only: bool = False) -> jnp.ndarray:
+    """S_nodes: (K, 13) packed Sim3; fixed: (K,) bool.
+
+    fix_scale: freeze the scale DoF (6-DoF mode, stereo/RGBD maps).
+    yaw_only: additionally freeze roll/pitch (the reference's 4-DoF
+    inertial pose graph, Optimizer::OptimizeEssentialGraph4DoF) — gravity
+    direction is observable with an IMU so only yaw + translation float.
+    """
+    K = S_nodes.shape[0]
+    zero = jnp.zeros(7)
+
+    # DoF mask over (omega_x, omega_y, omega_z, v, sigma)
+    dof = jnp.ones(7)
+    if yaw_only:
+        dof = dof.at[0].set(0.0).at[1].set(0.0)
+    dof = dof * jnp.where(jnp.asarray(fix_scale), jnp.ones(7).at[6].set(0.0),
+                          jnp.ones(7))
+
+    def build_and_solve(S_cur):
+        Si_flat = S_cur[edges.i]
+        Sj_flat = S_cur[edges.j]
+
+        def one(S_ij_f, Si_f, Sj_f):
+            r = _edge_residual(S_ij_f, Si_f, Sj_f, zero, zero)
+            Ji = jax.jacfwd(_edge_residual, argnums=3)(S_ij_f, Si_f, Sj_f,
+                                                       zero, zero)
+            Jj = jax.jacfwd(_edge_residual, argnums=4)(S_ij_f, Si_f, Sj_f,
+                                                       zero, zero)
+            return r, Ji, Jj
+
+        r, Ji, Jj = jax.vmap(one)(edges.S_ij, Si_flat, Sj_flat)   # (E,7) ...
+        w = jnp.where(edges.valid, edges.weight, 0.0)
+        Jiw = Ji * w[:, None, None]
+        Jjw = Jj * w[:, None, None]
+        H = jnp.zeros((K, 7, K, 7))
+        H = H.at[edges.i, :, edges.i, :].add(
+            jnp.einsum("eri,erj->eij", Ji, Jiw))
+        H = H.at[edges.j, :, edges.j, :].add(
+            jnp.einsum("eri,erj->eij", Jj, Jjw))
+        H = H.at[edges.i, :, edges.j, :].add(
+            jnp.einsum("eri,erj->eij", Ji, Jjw))
+        H = H.at[edges.j, :, edges.i, :].add(
+            jnp.einsum("eri,erj->eij", Jj, Jiw))
+        b = jnp.zeros((K, 7))
+        b = b.at[edges.i].add(jnp.einsum("eri,er->ei", Jiw, r))
+        b = b.at[edges.j].add(jnp.einsum("eri,er->ei", Jjw, r))
+
+        # clamp fixed nodes and disabled DoFs
+        free = (~fixed).astype(jnp.float32)[:, None] * dof[None, :]  # (K,7)
+        H = H * free[:, :, None, None] * free[None, None, :, :]
+        Hf = H.reshape(K * 7, K * 7)
+        ff = free.reshape(-1)
+        Hf = Hf + jnp.diag(jnp.where(ff > 0, 1e-6, 1.0))
+        Hf = Hf + 1e-5 * jnp.diag(jnp.diag(Hf))
+        bf = (b * free).reshape(-1)
+        d = jnp.linalg.solve(Hf, -bf).reshape(K, 7) * free
+        d = jnp.where(jnp.isfinite(d), d, 0.0)
+        return sim3.stack(sim3.retract(sim3.unstack(S_cur), d))
+
+    def body(_, S_cur):
+        return build_and_solve(S_cur)
+
+    return jax.lax.fori_loop(0, iters, body, S_nodes)

@@ -1,0 +1,100 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_orbslam3_tpu.bow import database as dbm
+from multi_orbslam3_tpu.bow import vocabulary as vocm
+
+
+@pytest.fixture(scope="module")
+def voc():
+    rng = np.random.RandomState(0)
+    descs = rng.randint(0, 2 ** 32, (5000, 8), dtype=np.uint32)
+    return vocm.train_vocabulary(descs, branching=6, depth=3, seed=1)
+
+
+def corrupt(descs, n_bits, rng):
+    """Flip n_bits random bits in each descriptor."""
+    out = descs.copy()
+    for i in range(descs.shape[0]):
+        for _ in range(n_bits):
+            w = rng.randint(8)
+            b = rng.randint(32)
+            out[i, w] ^= np.uint32(1 << b)
+    return out
+
+
+class TestVocabulary:
+    def test_word_assignment_deterministic(self, voc):
+        rng = np.random.RandomState(2)
+        d = jnp.asarray(rng.randint(0, 2 ** 32, (64, 8), dtype=np.uint32))
+        w1 = vocm.assign_words(voc, d, jnp.ones(64, bool))
+        w2 = vocm.assign_words(voc, d, jnp.ones(64, bool))
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        assert int(jnp.max(w1)) < voc.n_words
+        assert int(jnp.min(w1)) >= 0
+
+    def test_invalid_slots_get_minus_one(self, voc):
+        d = jnp.zeros((4, 8), jnp.uint32)
+        valid = jnp.asarray([True, False, True, False])
+        w = vocm.assign_words(voc, d, valid)
+        out = np.asarray(w)
+        assert out[1] == -1 and out[3] == -1 and out[0] >= 0
+
+    def test_similar_descriptors_share_words(self, voc):
+        rng = np.random.RandomState(3)
+        d = rng.randint(0, 2 ** 32, (128, 8), dtype=np.uint32)
+        d2 = corrupt(d, 4, rng)  # 4 of 256 bits flipped
+        w1 = np.asarray(vocm.assign_words(voc, jnp.asarray(d),
+                                          jnp.ones(128, bool)))
+        w2 = np.asarray(vocm.assign_words(voc, jnp.asarray(d2),
+                                          jnp.ones(128, bool)))
+        agreement = (w1 == w2).mean()
+        assert agreement > 0.5, f"word agreement {agreement}"
+
+    def test_bow_vector_normalized(self, voc):
+        rng = np.random.RandomState(4)
+        d = jnp.asarray(rng.randint(0, 2 ** 32, (100, 8), dtype=np.uint32))
+        w = vocm.assign_words(voc, d, jnp.ones(100, bool))
+        v = vocm.bow_vector(voc, w)
+        assert abs(float(jnp.linalg.norm(v)) - 1.0) < 1e-5
+
+
+class TestDatabase:
+    def test_self_query_ranks_first(self, voc):
+        rng = np.random.RandomState(5)
+        max_kf = 16
+        db = dbm.KeyframeDatabase.empty(max_kf, voc.n_words)
+        all_desc = []
+        for k in range(8):
+            d = jnp.asarray(rng.randint(0, 2 ** 32, (64, 8), dtype=np.uint32))
+            all_desc.append(d)
+            db, _ = dbm.add_keyframe_bow(db, voc, jnp.int32(k), d,
+                                         jnp.ones(64, bool))
+        # query with a noisy version of KF 3's descriptors
+        noisy = corrupt(np.array(all_desc[3]), 6, rng)
+        scores = dbm.query(db, voc, jnp.asarray(noisy), jnp.ones(64, bool),
+                           jnp.zeros(max_kf, bool))
+        assert int(jnp.argmax(scores)) == 3
+
+    def test_exclusion_mask(self, voc):
+        rng = np.random.RandomState(6)
+        max_kf = 8
+        db = dbm.KeyframeDatabase.empty(max_kf, voc.n_words)
+        d = jnp.asarray(rng.randint(0, 2 ** 32, (64, 8), dtype=np.uint32))
+        db, _ = dbm.add_keyframe_bow(db, voc, jnp.int32(0), d,
+                                     jnp.ones(64, bool))
+        excl = jnp.zeros(max_kf, bool).at[0].set(True)
+        scores = dbm.query(db, voc, d, jnp.ones(64, bool), excl)
+        assert float(scores[0]) == 0.0
+
+    def test_erase(self, voc):
+        rng = np.random.RandomState(7)
+        db = dbm.KeyframeDatabase.empty(8, voc.n_words)
+        d = jnp.asarray(rng.randint(0, 2 ** 32, (64, 8), dtype=np.uint32))
+        db, _ = dbm.add_keyframe_bow(db, voc, jnp.int32(2), d,
+                                     jnp.ones(64, bool))
+        db = dbm.erase_keyframe_bow(db, jnp.int32(2))
+        scores = dbm.query(db, voc, d, jnp.ones(64, bool),
+                           jnp.zeros(8, bool))
+        assert float(scores[2]) == 0.0
