@@ -1,0 +1,225 @@
+"""Loop detection + correction (single-map).
+
+Replaces the loop half of the reference LoopClosing thread
+(src/LoopClosing.cc: NewDetectCommonRegions :270, CorrectLoop :1054):
+
+- detection: shared-database BoW query (one matvec) -> best candidate ->
+  host-side temporal consistency counter (3 consecutive hits like the
+  reference) -> geometric verification by 3D-3D Sim3 Horn RANSAC over
+  descriptor-matched landmark pairs (the reference's Sim3Solver +
+  OptimizeSim3 + guided projection cascade collapses into RANSAC + IRLS
+  refinement at TPU batch sizes);
+- correction: a Sim3 essential-graph optimization over all keyframes
+  (spanning tree + strong covisibility + the loop edge), landmark
+  correction through each point's reference keyframe, and duplicate
+  fusion by replacing matched current-side landmarks with their
+  loop-side counterparts (MapPoint::Replace analog).
+
+The inter-agent merge variant lives in collab/server.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_orbslam3_tpu.bow import database as dbm
+from multi_orbslam3_tpu.bow.vocabulary import Vocabulary
+from multi_orbslam3_tpu.frontend import matcher
+from multi_orbslam3_tpu.geometry import camera as cam
+from multi_orbslam3_tpu.geometry import se3, sim3
+from multi_orbslam3_tpu.map import mapstate as ms
+from multi_orbslam3_tpu.map.mapstate import NO_MP, MapState
+from multi_orbslam3_tpu.opt import pose_graph, sim3_solve
+
+
+class LoopMatch(NamedTuple):
+    """Landmark correspondences between the current KF region and the
+    candidate KF region."""
+    cur_mp: jnp.ndarray    # (N,) current-side landmark slots (-1 invalid)
+    cand_mp: jnp.ndarray   # (N,) candidate-side landmark slots
+    valid: jnp.ndarray     # (N,) bool
+
+
+@jax.jit
+def match_loop_landmarks(m: MapState, kf_cur, kf_cand) -> LoopMatch:
+    """Descriptor-match the two keyframes' associated landmarks
+    (reference SearchByBoW between loop KFs, ORBmatcher.cc:819)."""
+    cur_has = m.kf_feat_valid[kf_cur] & (m.kf_mp[kf_cur] >= 0)
+    cand_has = m.kf_feat_valid[kf_cand] & (m.kf_mp[kf_cand] >= 0)
+    res = matcher.match_mutual(
+        m.kf_desc[kf_cur], cur_has, m.kf_desc[kf_cand], cand_has,
+        max_dist=matcher.TH_LOW, ratio=0.85,
+        angle1=m.kf_angle[kf_cur], angle2=m.kf_angle[kf_cand])
+    idx_safe = jnp.where(res.idx >= 0, res.idx, 0)
+    cur_mp = m.kf_mp[kf_cur]
+    cand_mp = m.kf_mp[kf_cand][idx_safe]
+    valid = (res.idx >= 0) & (cur_mp >= 0) & (cand_mp >= 0)
+    return LoopMatch(cur_mp=jnp.where(valid, cur_mp, -1),
+                     cand_mp=jnp.where(valid, cand_mp, -1), valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=("fix_scale",))
+def verify_loop(m: MapState, lm: LoopMatch, key,
+                fix_scale: bool = False) -> sim3_solve.Sim3RansacResult:
+    """Sim3 RANSAC on the matched landmark pairs: finds S with
+    p_cur ~ S(p_cand). The inlier threshold scales with the current
+    region's median depth spread."""
+    p_cand = m.mp_pos[jnp.where(lm.valid, lm.cand_mp, 0)]
+    p_cur = m.mp_pos[jnp.where(lm.valid, lm.cur_mp, 0)]
+    spread = jnp.sqrt(jnp.sum(jnp.var(
+        jnp.where(lm.valid[:, None], p_cur, 0.0), axis=0)))
+    th = jnp.maximum(0.02 * spread, 1e-3)
+    return sim3_solve.sim3_ransac(p_cand, p_cur, lm.valid, key,
+                                  n_hyp=128, inlier_th=th,
+                                  min_inliers=20, fix_scale=fix_scale)
+
+
+@functools.partial(jax.jit, static_argnames=("max_covis_edges", "iters",
+                                             "fix_scale"))
+def correct_loop(m: MapState, kf_cur, kf_cand, S_loop: sim3.Sim3,
+                 max_covis_edges: int = 256, iters: int = 10,
+                 fix_scale: bool = False,
+                 covis_strong: int = 30) -> MapState:
+    """Essential-graph correction. S_loop: p_cur ~ S_loop(p_cand) — the
+    accumulated drift of the current region relative to the loop region.
+
+    Pose-graph nodes are world-to-camera Sim3s; the loop edge pins the
+    corrected current KF at S_cur_corr = S_cur o S_loop (the camera sees
+    the same pixels after the world is pulled back through S_loop^-1).
+    """
+    K = m.max_kf
+    S_nodes = sim3.stack(sim3.from_se3(m.kf_pose))            # (K, 13)
+
+    # --- edges: spanning tree ---
+    child = jnp.arange(K, dtype=jnp.int32)
+    parent = m.kf_parent
+    tree_ok = (parent >= 0) & m.kf_valid & m.kf_valid[jnp.maximum(parent, 0)]
+    tree_i = child
+    tree_j = jnp.maximum(parent, 0)
+
+    # --- edges: strong covisibility pairs (top max_covis_edges) ---
+    W = ms.covisibility_matrix(m)
+    Wu = jnp.triu(W, k=1)
+    flat = Wu.reshape(-1)
+    vals, idxs = jax.lax.top_k(flat, max_covis_edges)
+    cov_i = (idxs // K).astype(jnp.int32)
+    cov_j = (idxs % K).astype(jnp.int32)
+    cov_ok = vals >= covis_strong
+
+    # --- loop edge ---
+    S_cur = sim3.from_se3(m.kf_pose[kf_cur])
+    S_cand = sim3.from_se3(m.kf_pose[kf_cand])
+    S_cur_corr = sim3.compose(S_cur, S_loop)
+    loop_meas = sim3.compose(S_cur_corr, sim3.inverse(S_cand))
+
+    ei = jnp.concatenate([tree_i, cov_i, jnp.asarray(kf_cur)[None]])
+    ej = jnp.concatenate([tree_j, cov_j, jnp.asarray(kf_cand)[None]])
+    evalid = jnp.concatenate([tree_ok, cov_ok, jnp.ones(1, bool)])
+    eweight = jnp.concatenate([
+        jnp.ones(K), jnp.ones(max_covis_edges),
+        jnp.asarray([100.0])]).astype(jnp.float32)
+
+    edges = pose_graph.make_edges(S_nodes, ei, ej, eweight, evalid)
+    # overwrite the loop edge with the *corrected* measurement
+    edges = edges._replace(
+        S_ij=edges.S_ij.at[-1].set(sim3.stack(loop_meas)))
+
+    fixed = ~m.kf_valid
+    fixed = fixed.at[kf_cand].set(True)   # loop region anchors the gauge
+    S_opt = pose_graph.optimize_pose_graph(S_nodes, fixed, edges,
+                                           iters=iters, fix_scale=fix_scale)
+
+    # --- write corrected keyframe poses (scale folded into translation) ---
+    S_new = sim3.unstack(S_opt)
+    new_poses = se3.make(S_new.R, S_new.t / S_new.s[..., None])
+    kf_pose = jnp.where(m.kf_valid[:, None, None], new_poses, m.kf_pose)
+
+    # --- correct landmarks through their reference KF:
+    # p' = S_new_ref^-1 ( S_old_ref (p) )  (reference CorrectLoop MP update)
+    ref = jnp.clip(m.mp_ref_kf, 0, K - 1)
+    S_old_ref = sim3.unstack(sim3.stack(sim3.from_se3(m.kf_pose))[ref])
+    S_new_ref = sim3.unstack(S_opt[ref])
+    p_cam = sim3.apply(S_old_ref, m.mp_pos)
+    p_corr = sim3.apply(sim3.inverse(S_new_ref), p_cam)
+    mp_pos = jnp.where((m.mp_valid & (m.mp_ref_kf >= 0))[:, None],
+                       p_corr, m.mp_pos)
+    return m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+
+class LoopCloser:
+    """Host-side loop-closing controller (detection bookkeeping +
+    correction dispatch). One instance per map."""
+
+    def __init__(self, voc: Vocabulary, max_kf: int,
+                 consistency_hits: int = 3, min_score: float = 0.03,
+                 min_interval_kfs: int = 10):
+        self.voc = voc
+        self.db = dbm.KeyframeDatabase.empty(max_kf, voc.n_words)
+        self.consistency_hits = consistency_hits
+        self.min_score = min_score
+        self.min_interval_kfs = min_interval_kfs
+        self._streak_cand = -1
+        self._streak = 0
+        self._last_loop_kf = -10**9
+        self._key = jax.random.PRNGKey(1234)
+        self.loops_closed = 0
+
+    def on_keyframe(self, m: MapState, kf: int,
+                    fix_scale: bool = False) -> MapState:
+        """Process a freshly inserted keyframe: query, verify, correct.
+        Returns the (possibly corrected) map."""
+        kf_j = jnp.int32(kf)
+        desc = m.kf_desc[kf_j]
+        fvalid = m.kf_feat_valid[kf_j]
+
+        # exclusion: self + covisible neighborhood (reference excludes the
+        # connected group, KeyFrameDatabase::DetectNBestCandidates)
+        covis = ms.covisibility_row(m, kf_j)
+        exclude = (covis > 0) | (jnp.arange(m.max_kf) == kf)
+        scores = dbm.query(self.db, self.voc, desc, fvalid, exclude)
+        self.db, _ = dbm.add_keyframe_bow(self.db, self.voc, kf_j, desc,
+                                          fvalid)
+        best = int(jnp.argmax(scores))
+        best_score = float(scores[best])
+
+        if kf - self._last_loop_kf < self.min_interval_kfs or \
+                best_score < self.min_score:
+            self._streak = 0
+            self._streak_cand = -1
+            return m
+
+        # temporal consistency: same candidate region on consecutive KFs
+        if self._streak_cand >= 0 and (
+                best == self._streak_cand
+                or int(ms.covisibility_row(m, jnp.int32(best))[
+                    self._streak_cand]) > 0):
+            self._streak += 1
+        else:
+            self._streak = 1
+        self._streak_cand = best
+        if self._streak < self.consistency_hits:
+            return m
+
+        # geometric verification
+        lm = match_loop_landmarks(m, kf_j, jnp.int32(best))
+        self._key, sub = jax.random.split(self._key)
+        res = verify_loop(m, lm, sub, fix_scale=fix_scale)
+        if not bool(res.ok):
+            return m
+
+        m = correct_loop(m, kf_j, jnp.int32(best), res.S,
+                         fix_scale=fix_scale)
+        # fuse duplicate landmarks along the verified correspondences
+        cur = jnp.where(lm.valid & res.inliers, lm.cur_mp, -1)
+        cand = jnp.where(lm.valid & res.inliers, lm.cand_mp, -1)
+        m = ms.replace_mappoint(m, cur, cand)
+        self._last_loop_kf = kf
+        self._streak = 0
+        self._streak_cand = -1
+        self.loops_closed += 1
+        return m

@@ -39,12 +39,25 @@ class MonoSlam:
     """Single-agent monocular SLAM (the reference client with loop closing
     disabled — exactly how its clients run, src/LocalMapping.cc:40-45)."""
 
-    def __init__(self, config: SystemConfig, agent_id: int = 0):
+    def __init__(self, config: SystemConfig, agent_id: int = 0,
+                 enable_loop_closing: bool = True, vocabulary=None):
         self.cfg = config
         self.agent = agent_id
         self.K = cam.intrinsics_from_config(config.camera)
         self.m = ms.empty_map(config.map.max_keyframes, config.map.max_mappoints,
                               config.orb.n_features)
+        # loop closing runs in standalone mode; collaborative clients turn it
+        # off (the server owns place recognition — reference mbNoLP=true,
+        # src/LocalMapping.cc:40-45)
+        self.loop_closer = None
+        if enable_loop_closing:
+            from multi_orbslam3_tpu.bow import vocabulary as vocm
+            from multi_orbslam3_tpu.pipeline.loop_closing import LoopCloser
+            voc = vocabulary if vocabulary is not None else \
+                vocm.default_vocabulary(config.bow.branching, config.bow.levels)
+            self.loop_closer = LoopCloser(
+                voc, config.map.max_keyframes,
+                consistency_hits=config.loop.consistency_hits)
         self.state = TrackState.NOT_INITIALIZED
         self.T_cur = np.eye(4, dtype=np.float32)
         self.T_vel = np.eye(4, dtype=np.float32)
@@ -120,6 +133,9 @@ class MonoSlam:
             n_points=self._ba_points(), scale_factor=self.cfg.orb.scale_factor,
             iters=10)
         self.m = out.map
+        if self.loop_closer is not None:
+            self.m = self.loop_closer.on_keyframe(self.m, int(k0))
+            self.m = self.loop_closer.on_keyframe(self.m, int(k1))
         self.T_cur = np.asarray(self.m.kf_pose[int(k1)])
         self.T_vel = np.eye(4, dtype=np.float32)
         self.ref_kf = int(k1)
@@ -218,6 +234,8 @@ class MonoSlam:
             iters=lm.local_ba_iters,
             covis_threshold=self.cfg.map.covis_threshold)
         self.m = out.map
+        if self.loop_closer is not None:
+            self.m = self.loop_closer.on_keyframe(self.m, k)
         self.T_cur = np.asarray(self.m.kf_pose[k])
         self.ref_kf = k
         self.frames_since_kf = 0

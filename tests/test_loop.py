@@ -1,0 +1,120 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_orbslam3_tpu.frontend.extractor import FrameFeatures
+from multi_orbslam3_tpu.geometry import se3, sim3
+from multi_orbslam3_tpu.map import mapstate as ms
+from multi_orbslam3_tpu.opt import sim3_solve
+from multi_orbslam3_tpu.pipeline import loop_closing
+
+
+class TestHornSim3:
+    def test_exact_recovery(self):
+        rng = np.random.RandomState(0)
+        p = jnp.asarray(rng.randn(50, 3).astype(np.float32))
+        S_true = sim3.exp(jnp.asarray([0.1, -0.2, 0.3, 0.5, -0.4, 0.2, 0.3]))
+        q = sim3.apply(S_true, p)
+        S = sim3_solve.horn_sim3(p, q)
+        np.testing.assert_allclose(np.asarray(S.R), np.asarray(S_true.R),
+                                   atol=1e-4)
+        np.testing.assert_allclose(float(S.s), float(S_true.s), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(S.t), np.asarray(S_true.t),
+                                   atol=1e-4)
+
+    def test_fix_scale(self):
+        rng = np.random.RandomState(1)
+        p = jnp.asarray(rng.randn(30, 3).astype(np.float32))
+        S_true = sim3.exp(jnp.asarray([0.0, 0.1, 0.0, 0.3, 0.0, 0.1, 0.0]))
+        q = sim3.apply(S_true, p)
+        S = sim3_solve.horn_sim3(p, q, fix_scale=True)
+        assert abs(float(S.s) - 1.0) < 1e-6
+
+    def test_ransac_with_outliers(self):
+        rng = np.random.RandomState(2)
+        M = 120
+        p = jnp.asarray(rng.randn(M, 3).astype(np.float32) * 2.0)
+        S_true = sim3.exp(jnp.asarray([0.05, 0.1, -0.1, 0.8, 0.2, -0.3, 0.2]))
+        q = np.array(sim3.apply(S_true, p))
+        q[:30] += rng.uniform(1.0, 3.0, (30, 3))  # 25% outliers
+        res = sim3_solve.sim3_ransac(p, jnp.asarray(q), jnp.ones(M, bool),
+                                     jax.random.PRNGKey(0), inlier_th=0.1)
+        assert bool(res.ok)
+        inl = np.asarray(res.inliers)
+        assert inl[:30].mean() < 0.2
+        assert inl[30:].mean() > 0.9
+        np.testing.assert_allclose(float(res.S.s), float(S_true.s), rtol=0.02)
+
+
+def _build_loop_map(n_kf=12, n_pts_per_kf=20, drift_sigma=0.0,
+                    drift_after=6, drift_xi=None, seed=0):
+    """A hand-built map: KFs along a circle-ish path, each with its own
+    landmarks. Optionally apply an artificial drift (rigid+scale error) to
+    every KF/landmark after `drift_after`."""
+    rng = np.random.RandomState(seed)
+    n_feat = 32
+    m = ms.empty_map(max_kf=16, max_mp=512, n_feat=n_feat)
+    all_T = []
+    for i in range(n_kf):
+        xi = jnp.asarray([0.0, 0.25 * i, 0.0, 0.6 * i, 0.0, 0.0])
+        all_T.append(se3.exp(xi))
+    for i in range(n_kf):
+        feats = FrameFeatures(
+            uv=jnp.asarray(rng.uniform(0, 300, (n_feat, 2)).astype(np.float32)),
+            uv_und=jnp.asarray(rng.uniform(0, 300, (n_feat, 2)).astype(np.float32)),
+            response=jnp.ones(n_feat), level=jnp.zeros(n_feat, jnp.int32),
+            angle=jnp.zeros(n_feat),
+            desc=jnp.asarray(rng.randint(0, 2 ** 32, (n_feat, 8),
+                                         dtype=np.uint32)),
+            valid=jnp.ones(n_feat, bool))
+        m, k = ms.add_keyframe(m, feats, all_T[i], float(i),
+                               jnp.full((n_feat,), ms.NO_MP, jnp.int32),
+                               i - 1)
+        # landmarks in front of this KF
+        pts = jnp.asarray(rng.uniform(-1, 1, (n_pts_per_kf, 3))
+                          .astype(np.float32)) + jnp.asarray([0.0, 0.0, 4.0])
+        p_world = se3.apply(se3.inverse(all_T[i])[None], pts)
+        m, slots = ms.add_mappoints(
+            m, p_world, jnp.ones(n_pts_per_kf, bool),
+            feats.desc[:n_pts_per_kf], k, k,
+            jnp.arange(n_pts_per_kf, dtype=jnp.int32), k,
+            jnp.arange(n_pts_per_kf, dtype=jnp.int32))
+    return m, all_T
+
+
+class TestCorrectLoop:
+    def test_drift_corrected(self):
+        m, all_T = _build_loop_map()
+        # apply artificial drift S_d to KFs >= 6 and their landmarks:
+        # world entities seen by late KFs move to S_d(p)
+        S_d = sim3.exp(jnp.asarray([0.0, 0.05, 0.0, 0.3, 0.0, 0.1, 0.08]))
+        late = np.arange(6, 12)
+        kf_pose = np.array(m.kf_pose)
+        for k in late:
+            # camera still sees same pixels: T' = T o S_d^-1 (fold scale)
+            S_old = sim3.from_se3(jnp.asarray(kf_pose[k]))
+            S_new = sim3.compose(S_old, sim3.inverse(S_d))
+            kf_pose[k] = np.asarray(sim3.to_se3_scaled(S_new))
+        mp_pos = np.array(m.mp_pos)
+        mp_ref = np.array(m.mp_ref_kf)
+        late_mp = np.isin(mp_ref, late)
+        mp_pos[late_mp] = np.asarray(sim3.apply(
+            S_d, jnp.asarray(mp_pos[late_mp])))
+        m = m._replace(kf_pose=jnp.asarray(kf_pose), mp_pos=jnp.asarray(mp_pos))
+
+        # ground-truth loop constraint between KF 11 (drifted) and KF 0:
+        # drifted-region points q = S_d(p_true): verify_loop's convention is
+        # p_cur ~ S(p_cand) with cand side undrifted => S = S_d
+        m2 = loop_closing.correct_loop(m, jnp.int32(11), jnp.int32(0), S_d,
+                                       max_covis_edges=32, iters=12)
+        # all poses should return near their true values
+        for k in range(12):
+            err = float(jnp.linalg.norm(se3.log(se3.compose(
+                m2.kf_pose[k], se3.inverse(all_T[k])))))
+            assert err < 0.12, f"KF{k} err {err}"
+        # drifted landmarks should be pulled back
+        gt_pos = np.array(_build_loop_map()[0].mp_pos)
+        err_pts = np.linalg.norm(np.asarray(m2.mp_pos) - gt_pos, axis=1)
+        n_mp = int(m2.n_mp)
+        assert np.median(err_pts[:n_mp]) < 0.15
