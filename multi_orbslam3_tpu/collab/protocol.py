@@ -1,0 +1,147 @@
+"""Map-delta wire protocol.
+
+Replaces the reference's msg/*.msg schema (Map.msg envelope with KF[],
+KFred[], MP[], MPred[], erasure lists — SURVEY.md §2.4) with numpy
+struct-of-arrays payloads. Semantics preserved from the reference:
+
+- **Relative-pose encoding with fallback chain**: each KF pose is shipped
+  relative to its predecessor, with the pred-of-pred and spanning-tree
+  parent as fallbacks (KeyFrame.cc:1584-1618). The receiver resolves the
+  first reference it already has and *drops* the message otherwise
+  (KeyFrame.cc:2359-2363) — late/lost messages never corrupt the map.
+- **Pose locks**: server->client pose updates carry `locked`; the client
+  applies only locked updates (KeyFrame.cc:2143-2144) — server wins after
+  optimization, client wins for fresh odometry.
+- **Erasure tombstones**: erased ids travel in the envelope so late
+  arrivals are dropped cleanly (Map.cc:185-236).
+
+Serialization: `to_bytes`/`from_bytes` pack the arrays with np.savez —
+the host-transport payload format (gRPC framing wraps these bytes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class KFPayload:
+    """Full keyframes (KF.msg analog), SoA over B keyframes."""
+    agent: int
+    local_id: np.ndarray        # (B,) int32 sender-local slot ids
+    timestamp: np.ndarray       # (B,)
+    # relative pose chain: T_this_from_ref for up to 3 candidate refs
+    ref_ids: np.ndarray         # (B, 3) int32 local ids (pred, predpred, parent), -1 none
+    T_rel: np.ndarray           # (B, 3, 4, 4) pose relative to each ref
+    T_abs: np.ndarray           # (B, 4, 4) absolute pose (first-KF bootstrap)
+    is_first: np.ndarray        # (B,) bool — no reference exists (map origin)
+    uv: np.ndarray              # (B, N, 2)
+    desc: np.ndarray            # (B, N, 8) uint32
+    level: np.ndarray           # (B, N) int32
+    angle: np.ndarray           # (B, N)
+    feat_valid: np.ndarray      # (B, N) bool
+    mp_local: np.ndarray        # (B, N) int32 sender-local MP id per feature
+
+
+@dataclasses.dataclass
+class KFUpdatePayload:
+    """Pose-only updates (KFred.msg analog)."""
+    agent: int
+    local_id: np.ndarray        # (B,)
+    T_abs: np.ndarray           # (B, 4, 4)
+    locked: np.ndarray          # (B,) bool — mbPoseLock
+
+
+@dataclasses.dataclass
+class MPPayload:
+    """Full map points (MP.msg analog)."""
+    agent: int
+    local_id: np.ndarray        # (B,)
+    ref_kf_local: np.ndarray    # (B,) int32 local id of reference KF
+    pos_rel: np.ndarray         # (B, 3) position in reference-KF camera frame
+    pos_abs: np.ndarray         # (B, 3) absolute (fallback)
+    desc: np.ndarray            # (B, 8) uint32
+
+
+@dataclasses.dataclass
+class MPUpdatePayload:
+    """Position-only updates (MPred.msg analog)."""
+    agent: int
+    local_id: np.ndarray
+    pos_abs: np.ndarray
+    locked: np.ndarray
+
+
+@dataclasses.dataclass
+class MapDelta:
+    """The per-cycle envelope (Map.msg analog)."""
+    agent: int
+    seq: int = 0                                # mMsgId analog
+    kfs: Optional[KFPayload] = None
+    kf_updates: Optional[KFUpdatePayload] = None
+    mps: Optional[MPPayload] = None
+    mp_updates: Optional[MPUpdatePayload] = None
+    erased_kf: Optional[np.ndarray] = None      # (E,) int32 local ids
+    erased_mp: Optional[np.ndarray] = None
+    closest_kf: int = -1                        # client's current ref KF
+    # IMU-init gauge handoff (mScale/mRgw analog, Map.cc:497-503)
+    scale: float = 1.0
+    R_gw: Optional[np.ndarray] = None           # (3, 3)
+
+    def to_bytes(self) -> bytes:
+        arrays: Dict[str, np.ndarray] = {}
+        meta = {"agent": self.agent, "seq": self.seq,
+                "closest_kf": self.closest_kf, "scale": self.scale}
+        for name in ("kfs", "kf_updates", "mps", "mp_updates"):
+            obj = getattr(self, name)
+            if obj is None:
+                continue
+            for f in dataclasses.fields(obj):
+                v = getattr(obj, f.name)
+                if isinstance(v, np.ndarray):
+                    arrays[f"{name}.{f.name}"] = v
+                else:
+                    meta[f"{name}.{f.name}"] = v
+        if self.erased_kf is not None:
+            arrays["erased_kf"] = self.erased_kf
+        if self.erased_mp is not None:
+            arrays["erased_mp"] = self.erased_mp
+        if self.R_gw is not None:
+            arrays["R_gw"] = self.R_gw
+        arrays["__meta__"] = np.frombuffer(
+            repr(meta).encode(), dtype=np.uint8)
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "MapDelta":
+        import ast
+        with np.load(io.BytesIO(data)) as z:
+            arrays = {k: z[k] for k in z.files}
+        meta = ast.literal_eval(bytes(arrays.pop("__meta__")).decode())
+
+        def build(name, klass):
+            fields = {f.name for f in dataclasses.fields(klass)}
+            sub_a = {k.split(".", 1)[1]: v for k, v in arrays.items()
+                     if k.startswith(name + ".")}
+            sub_m = {k.split(".", 1)[1]: v for k, v in meta.items()
+                     if isinstance(k, str) and k.startswith(name + ".")}
+            if not sub_a and not sub_m:
+                return None
+            kw = {**sub_a, **sub_m}
+            return klass(**{k: v for k, v in kw.items() if k in fields})
+
+        return cls(agent=meta["agent"], seq=meta["seq"],
+                   closest_kf=meta["closest_kf"], scale=meta["scale"],
+                   kfs=build("kfs", KFPayload),
+                   kf_updates=build("kf_updates", KFUpdatePayload),
+                   mps=build("mps", MPPayload),
+                   mp_updates=build("mp_updates", MPUpdatePayload),
+                   erased_kf=arrays.get("erased_kf"),
+                   erased_mp=arrays.get("erased_mp"),
+                   R_gw=arrays.get("R_gw"))

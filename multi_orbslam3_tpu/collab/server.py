@@ -1,0 +1,477 @@
+"""Collaborative server: shared-arena multi-agent map fusion.
+
+Replaces ServerSystem + ClientHandler + the Communicator server half +
+LoopClosing's merge path (src/ServerSystem.cc, src/ClientHandler.cc,
+src/Communicator.cc:240-949, src/LoopClosing.cc MergeLocal/:1316).
+
+Design departures from the reference, deliberate for fixed-shape TPU
+state (SURVEY.md §7):
+
+- ONE device-resident arena MapState holds every agent's keyframes and
+  landmarks, tagged with a host-side sub-map id per slot. The reference's
+  per-client Atlas + map migration (Map::ChangeAtlas) becomes *relabeling*
+  ids + one batched Sim3 transform of the absorbed sub-map — no object
+  graph surgery, and server-wide optimizations (pose graph, global BA)
+  operate on the whole arena with validity masks.
+- The shared KeyframeDatabase covers all agents (one matvec query returns
+  same-map loop candidates and cross-agent merge candidates at once; the
+  caller splits them by sub-map id — KeyFrameDatabase.cc:712-730).
+- Client->server identity: (agent, local_id) -> arena slot maps on the
+  host (the idpair -> mnUniqueId scheme, include/Datatypes.h:94-121).
+- Relative-pose resolution with the reference's 3-candidate fallback;
+  unresolvable messages are re-queued instead of dropped (the reference
+  relies on its ack/resend machinery; we keep the envelope).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_orbslam3_tpu.bow import database as dbm
+from multi_orbslam3_tpu.bow import vocabulary as vocm
+from multi_orbslam3_tpu.collab import protocol
+from multi_orbslam3_tpu.collab.transport import Transport
+from multi_orbslam3_tpu.config import SystemConfig
+from multi_orbslam3_tpu.frontend.extractor import FrameFeatures
+from multi_orbslam3_tpu.geometry import camera as cam
+from multi_orbslam3_tpu.geometry import se3, sim3
+from multi_orbslam3_tpu.map import mapstate as ms
+from multi_orbslam3_tpu.opt import global_ba, local_ba
+from multi_orbslam3_tpu.pipeline import loop_closing
+from multi_orbslam3_tpu.pipeline.tracking import level_inv_sigma2
+
+
+@dataclasses.dataclass
+class AgentBook:
+    """Per-agent bookkeeping (the ClientHandler analog, minus threads)."""
+    kf_l2s: Dict[int, int] = dataclasses.field(default_factory=dict)
+    mp_l2s: Dict[int, int] = dataclasses.field(default_factory=dict)
+    map_id: int = -1
+    last_kf_slot: int = -1
+    closest_kf: int = -1
+    streak_cand: int = -1
+    streak: int = 0
+    pending: List[bytes] = dataclasses.field(default_factory=list)
+    dirty_kfs: List[int] = dataclasses.field(default_factory=list)
+
+
+class CollabServer:
+    def __init__(self, config: SystemConfig, transport: Transport,
+                 n_agents: int, vocabulary=None,
+                 arena_kf: Optional[int] = None,
+                 arena_mp: Optional[int] = None):
+        self.cfg = config
+        self.transport = transport
+        self.n_agents = n_agents
+        self.K = cam.intrinsics_from_config(config.camera)
+        max_kf = arena_kf or config.map.max_keyframes * n_agents
+        max_mp = arena_mp or config.map.max_mappoints * n_agents
+        self.m = ms.empty_map(max_kf, max_mp, config.orb.n_features)
+        self.kf_map = np.full(max_kf, -1, np.int32)     # sub-map id per slot
+        self.mp_map = np.full(max_mp, -1, np.int32)
+        self.kf_local = np.full(max_kf, -1, np.int32)   # sender-local id
+        self.voc = vocabulary if vocabulary is not None else \
+            vocm.default_vocabulary(config.bow.branching, config.bow.levels)
+        self.db = dbm.KeyframeDatabase.empty(max_kf, self.voc.n_words)
+        self.agents = {a: AgentBook() for a in range(n_agents)}
+        self._next_map_id = 0
+        self._pending_assoc: List[Tuple[int, int, int, int]] = []
+        self._key = jax.random.PRNGKey(99)
+        self._pr_queue: List[Tuple[int, int]] = []      # (agent, kf_slot)
+        self.stats = {"kf_ingested": 0, "mp_ingested": 0, "merges": 0,
+                      "loops": 0, "dropped_kf": 0, "gba_runs": 0}
+
+    # ==================================================================
+    # ingest
+    # ==================================================================
+    def comm_cycle(self, run_gba_on_events: bool = False) -> None:
+        """One server cycle (Communicator::RunServer + LoopClosing::Run):
+        ingest all agents' deltas, run place recognition on new KFs,
+        downlink corrections."""
+        comm = self.cfg.comm
+        for a, book in self.agents.items():
+            payloads = book.pending + self.transport.poll_up(a)
+            book.pending = []
+            kf_budget = comm.server_kf_bound
+            mp_budget = comm.server_mp_bound
+            for p in payloads:
+                if kf_budget <= 0 and mp_budget <= 0:
+                    book.pending.append(p)
+                    continue
+                delta = protocol.MapDelta.from_bytes(p)
+                used_kf, used_mp = self._ingest_delta(a, delta)
+                kf_budget -= used_kf
+                mp_budget -= used_mp
+        self._resolve_pending_assoc()
+        self._run_place_recognition(run_gba=run_gba_on_events)
+        self._downlink()
+
+    # ------------------------------------------------------------------
+    def _ingest_delta(self, agent: int, delta: protocol.MapDelta
+                      ) -> Tuple[int, int]:
+        book = self.agents[agent]
+        if delta.closest_kf >= 0:
+            book.closest_kf = delta.closest_kf
+        n_kf = n_mp = 0
+        if delta.kfs is not None:
+            n_kf = self._ingest_kfs(agent, delta.kfs)
+        if delta.mps is not None:
+            n_mp = self._ingest_mps(agent, delta.mps)
+        if delta.kf_updates is not None:
+            self._ingest_kf_updates(agent, delta.kf_updates)
+        if delta.mp_updates is not None:
+            self._ingest_mp_updates(agent, delta.mp_updates)
+        if delta.erased_kf is not None:
+            for lid in delta.erased_kf:
+                slot = book.kf_l2s.get(int(lid))
+                if slot is not None:
+                    self.m = ms.erase_keyframe(self.m, jnp.int32(slot))
+                    self.db = dbm.erase_keyframe_bow(self.db, jnp.int32(slot))
+        if delta.erased_mp is not None:
+            slots = [book.mp_l2s.get(int(l), -1) for l in delta.erased_mp]
+            if slots:
+                self.m = ms.erase_mappoints(
+                    self.m, jnp.asarray(slots, jnp.int32))
+        return n_kf, n_mp
+
+    def _ingest_kfs(self, agent: int, kfs: protocol.KFPayload) -> int:
+        book = self.agents[agent]
+        B = kfs.local_id.shape[0]
+        count = 0
+        for b in range(B):
+            lid = int(kfs.local_id[b])
+            if lid in book.kf_l2s:
+                continue
+            # resolve pose: first available reference in the fallback chain
+            # (KeyFrame::SetPoseFromMessage, KeyFrame.cc:2243-2380)
+            T_abs = None
+            if bool(kfs.is_first[b]) or book.map_id < 0:
+                T_abs = kfs.T_abs[b]
+            else:
+                for r in range(3):
+                    rid = int(kfs.ref_ids[b, r])
+                    slot = book.kf_l2s.get(rid)
+                    if slot is not None:
+                        T_ref = np.array(self.m.kf_pose[slot])
+                        T_abs = kfs.T_rel[b, r] @ T_ref
+                        break
+            if T_abs is None:
+                self.stats["dropped_kf"] += 1
+                continue
+            if book.map_id < 0:
+                book.map_id = self._next_map_id
+                self._next_map_id += 1
+            feats = FrameFeatures(
+                uv=jnp.asarray(kfs.uv[b]), uv_und=jnp.asarray(kfs.uv[b]),
+                response=jnp.ones(kfs.uv.shape[1], jnp.float32),
+                level=jnp.asarray(kfs.level[b]),
+                angle=jnp.asarray(kfs.angle[b]),
+                desc=jnp.asarray(kfs.desc[b]),
+                valid=jnp.asarray(kfs.feat_valid[b]))
+            # landmark associations that already resolve; defer the rest
+            assoc = np.full(kfs.mp_local.shape[1], ms.NO_MP, np.int32)
+            parent_slot = book.kf_l2s.get(int(kfs.ref_ids[b, 2]), -1) \
+                if kfs.ref_ids[b, 2] >= 0 else book.last_kf_slot
+            self.m, slot = ms.add_keyframe(
+                self.m, feats, jnp.asarray(T_abs),
+                float(kfs.timestamp[b]), jnp.asarray(assoc),
+                parent_slot, agent)
+            slot_i = int(slot)
+            if slot_i < 0:
+                self.stats["dropped_kf"] += 1
+                continue
+            for f, mloc in enumerate(kfs.mp_local[b]):
+                if mloc >= 0:
+                    self._pending_assoc.append((agent, slot_i, f, int(mloc)))
+            book.kf_l2s[lid] = slot_i
+            book.last_kf_slot = slot_i
+            self.kf_map[slot_i] = book.map_id
+            self.kf_local[slot_i] = lid
+            self.db, _ = dbm.add_keyframe_bow(
+                self.db, self.voc, jnp.int32(slot_i), feats.desc,
+                feats.valid, agent)
+            self._pr_queue.append((agent, slot_i))
+            book.dirty_kfs.append(slot_i)
+            self.stats["kf_ingested"] += 1
+            count += 1
+        return count
+
+    def _ingest_mps(self, agent: int, mps: protocol.MPPayload) -> int:
+        book = self.agents[agent]
+        B = mps.local_id.shape[0]
+        pos_list, ok_list, desc_list, ref_list, lids = [], [], [], [], []
+        all_poses = np.array(self.m.kf_pose)
+        for b in range(B):
+            lid = int(mps.local_id[b])
+            if lid in book.mp_l2s:
+                continue
+            ref_slot = book.kf_l2s.get(int(mps.ref_kf_local[b]))
+            if ref_slot is not None:
+                # relative-position decode (MP.msg semantics): pos_rel is in
+                # the reference KF's camera frame
+                T_ref = all_poses[ref_slot]
+                p = np.linalg.inv(T_ref) @ np.append(mps.pos_rel[b], 1.0)
+                pos_list.append(p[:3])
+                ref_list.append(ref_slot)
+            else:
+                pos_list.append(mps.pos_abs[b])
+                ref_list.append(max(book.last_kf_slot, 0))
+            ok_list.append(True)
+            desc_list.append(mps.desc[b])
+            lids.append(lid)
+        if not lids:
+            return 0
+        nb = len(lids)
+        self.m, slots = ms.add_mappoints_raw(
+            self.m, jnp.asarray(np.stack(pos_list), jnp.float32),
+            jnp.asarray(ok_list), jnp.asarray(np.stack(desc_list)),
+            jnp.asarray(ref_list, jnp.int32), agent)
+        slots_np = np.array(slots)
+        for i, lid in enumerate(lids):
+            s = int(slots_np[i])
+            if s >= 0:
+                book.mp_l2s[lid] = s
+                self.mp_map[s] = book.map_id
+        self.stats["mp_ingested"] += nb
+        return nb
+
+    def _ingest_kf_updates(self, agent: int, ku: protocol.KFUpdatePayload):
+        book = self.agents[agent]
+        ids, poses = [], []
+        for b, lid in enumerate(ku.local_id):
+            slot = book.kf_l2s.get(int(lid))
+            if slot is not None and not bool(self.m.kf_pose_locked[slot]):
+                ids.append(slot)
+                poses.append(ku.T_abs[b])
+        if ids:
+            self.m = self.m._replace(kf_pose=self.m.kf_pose.at[
+                jnp.asarray(ids, jnp.int32)].set(
+                jnp.asarray(np.stack(poses))))
+            book.dirty_kfs.extend(ids)
+
+    def _ingest_mp_updates(self, agent: int, mu: protocol.MPUpdatePayload):
+        book = self.agents[agent]
+        ids, poss = [], []
+        for b, lid in enumerate(mu.local_id):
+            slot = book.mp_l2s.get(int(lid))
+            if slot is not None:
+                ids.append(slot)
+                poss.append(mu.pos_abs[b])
+        if ids:
+            self.m = self.m._replace(mp_pos=self.m.mp_pos.at[
+                jnp.asarray(ids, jnp.int32)].set(
+                jnp.asarray(np.stack(poss))))
+
+    def _resolve_pending_assoc(self) -> None:
+        still = []
+        updates_kf, updates_f, updates_mp = [], [], []
+        for agent, kf_slot, feat, mp_local in self._pending_assoc:
+            mp_slot = self.agents[agent].mp_l2s.get(mp_local)
+            if mp_slot is None:
+                still.append((agent, kf_slot, feat, mp_local))
+            else:
+                updates_kf.append(kf_slot)
+                updates_f.append(feat)
+                updates_mp.append(mp_slot)
+        if updates_kf:
+            self.m = self.m._replace(kf_mp=self.m.kf_mp.at[
+                jnp.asarray(updates_kf, jnp.int32),
+                jnp.asarray(updates_f, jnp.int32)].set(
+                jnp.asarray(updates_mp, jnp.int32)))
+        self._pending_assoc = still
+
+    # ==================================================================
+    # place recognition: loops (same sub-map) and merges (cross sub-map)
+    # ==================================================================
+    def _run_place_recognition(self, run_gba: bool = False) -> None:
+        queue, self._pr_queue = self._pr_queue, []
+        for agent, kf_slot in queue:
+            book = self.agents[agent]
+            covis = ms.covisibility_row(self.m, jnp.int32(kf_slot))
+            exclude = np.array(covis) > 0
+            exclude[kf_slot] = True
+            # exclude this agent's most recent KFs (temporally adjacent)
+            own_recent = (self.kf_local >= 0) & \
+                (np.array(self.m.kf_agent) == agent)
+            recent_ids = np.nonzero(own_recent)[0]
+            exclude[recent_ids[-10:]] = True
+            scores = dbm.query(self.db, self.voc,
+                               self.m.kf_desc[kf_slot],
+                               self.m.kf_feat_valid[kf_slot],
+                               jnp.asarray(exclude))
+            best = int(jnp.argmax(scores))
+            if float(scores[best]) < 0.03:
+                book.streak = 0
+                book.streak_cand = -1
+                continue
+            if book.streak_cand >= 0 and (
+                    best == book.streak_cand or
+                    int(covis[book.streak_cand]) > 0):
+                book.streak += 1
+            else:
+                book.streak = 1
+            book.streak_cand = best
+            if book.streak < self.cfg.loop.consistency_hits:
+                continue
+
+            lm = loop_closing.match_loop_landmarks(
+                self.m, jnp.int32(kf_slot), jnp.int32(best))
+            self._key, sub = jax.random.split(self._key)
+            res = loop_closing.verify_loop(self.m, lm, sub)
+            if not bool(res.ok):
+                continue
+            same_map = self.kf_map[best] == self.kf_map[kf_slot]
+            if same_map:
+                self.m = loop_closing.correct_loop(
+                    self.m, jnp.int32(kf_slot), jnp.int32(best), res.S)
+                self.stats["loops"] += 1
+            else:
+                self._merge_maps(kf_slot, best, res.S)
+                self.stats["merges"] += 1
+            cur = jnp.where(lm.valid & res.inliers, lm.cur_mp, -1)
+            cand = jnp.where(lm.valid & res.inliers, lm.cand_mp, -1)
+            self.m = ms.replace_mappoint(self.m, cur, cand)
+            book.streak = 0
+            book.streak_cand = -1
+            self._mark_all_dirty_and_lock()
+            if run_gba:
+                self.run_global_ba()
+
+    # ------------------------------------------------------------------
+    def _merge_maps(self, kf_cur: int, kf_cand: int,
+                    S_loop: sim3.Sim3) -> None:
+        """Cross-agent merge (MergeLocal analog): pull the current KF's
+        sub-map through S_loop^-1 into the candidate's sub-map frame, then
+        relabel. p_cur ~ S_loop(p_cand) => moved entities q -> S^-1(q)."""
+        map_cur = int(self.kf_map[kf_cur])
+        map_cand = int(self.kf_map[kf_cand])
+        move_kf = jnp.asarray(self.kf_map == map_cur)
+        move_mp = jnp.asarray(self.mp_map == map_cur)
+        S_inv = sim3.inverse(S_loop)
+
+        # landmarks: q' = S_inv(q)
+        new_pos = sim3.apply(S_inv, self.m.mp_pos)
+        mp_pos = jnp.where(move_mp[:, None], new_pos, self.m.mp_pos)
+        # keyframes: camera sees the same pixels: S_cw' = S_cw o S_loop
+        S_cw = sim3.from_se3(self.m.kf_pose)
+        S_new = sim3.compose(S_cw, S_loop)
+        T_new = se3.make(S_new.R, S_new.t / S_new.s[..., None])
+        kf_pose = jnp.where(move_kf[:, None, None], T_new, self.m.kf_pose)
+        self.m = self.m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+        self.kf_map[self.kf_map == map_cur] = map_cand
+        self.mp_map[self.mp_map == map_cur] = map_cand
+        for book in self.agents.values():   # future ingest goes to the
+            if book.map_id == map_cur:      # merged map (ChangeMap analog)
+                book.map_id = map_cand
+        # weld the spanning forest: current KF's root chain hangs off cand
+        # (reference rebuilds the spanning tree after MergeLocal)
+        root = kf_cur
+        parent = int(self.m.kf_parent[root])
+        while parent >= 0:
+            root = parent
+            parent = int(self.m.kf_parent[root])
+        self.m = self.m._replace(
+            kf_parent=self.m.kf_parent.at[root].set(jnp.int32(kf_cand)))
+        # distribute residual merge error with a pose graph on the welded map
+        self.m = loop_closing.correct_loop(
+            self.m, jnp.int32(kf_cur), jnp.int32(kf_cand),
+            sim3.identity(), iters=8)
+
+    def _mark_all_dirty_and_lock(self) -> None:
+        """After a correction event, lock every valid KF pose (the
+        reference locks after GBA, LoopClosing.cc:~2719) and queue the
+        full map for downlink."""
+        self.m = self.m._replace(
+            kf_pose_locked=self.m.kf_pose_locked | self.m.kf_valid)
+        valid = np.array(self.m.kf_valid)
+        agents_arr = np.array(self.m.kf_agent)
+        for a, book in self.agents.items():
+            book.dirty_kfs = list(np.nonzero(valid & (agents_arr == a))[0])
+
+    # ==================================================================
+    # server-side global BA (the distributed Schur reduction entry)
+    # ==================================================================
+    def run_global_ba(self, iters: int = 6, cg_iters: int = 30) -> None:
+        """Full-arena visual BA (RunGlobalBundleAdjustment analog).
+        Observations come straight from the arena's kf_mp arrays."""
+        m = self.m
+        Kc, N = m.kf_mp.shape
+        obs_kf = jnp.repeat(jnp.arange(Kc, dtype=jnp.int32), N)
+        obs_pt_raw = m.kf_mp.reshape(-1)
+        obs_valid = (obs_pt_raw >= 0) & m.kf_feat_valid.reshape(-1) & \
+            m.kf_valid.repeat(N)
+        obs = local_ba.BAObservations(
+            kf=obs_kf, pt=jnp.where(obs_pt_raw >= 0, obs_pt_raw, 0),
+            uv=m.kf_uv.reshape(-1, 2),
+            inv_sigma2=level_inv_sigma2(m.kf_level.reshape(-1),
+                                        self.cfg.orb.scale_factor),
+            valid=obs_valid)
+        # gauge: fix the oldest valid KF of every sub-map
+        fixed = ~np.array(m.kf_valid)
+        for mid in np.unique(self.kf_map[self.kf_map >= 0]):
+            slots = np.nonzero(self.kf_map == mid)[0]
+            if len(slots):
+                fixed[slots[0]] = True
+        res = global_ba.global_bundle_adjust(
+            m.kf_pose, jnp.asarray(fixed), m.mp_pos, m.mp_valid, obs,
+            self.K, iters=iters, cg_iters=cg_iters)
+        self.m = m._replace(kf_pose=res.poses, mp_pos=res.points)
+        self.stats["gba_runs"] += 1
+        self._mark_all_dirty_and_lock()
+
+    # ==================================================================
+    # downlink
+    # ==================================================================
+    def _downlink(self) -> None:
+        """Send corrected (locked) poses back to owners, capped per cycle
+        (PublishMapServer + PackVicinityToMsg2 analog; we prioritize the
+        vicinity of the client's current KF)."""
+        cap = self.cfg.comm.vicinity_kfs
+        for a, book in self.agents.items():
+            if not book.dirty_kfs:
+                continue
+            slots = np.unique(np.asarray(book.dirty_kfs, np.int64))
+            locked = np.array(self.m.kf_pose_locked)[slots]
+            slots = slots[locked]
+            if len(slots) == 0:
+                book.dirty_kfs = []
+                continue
+            # vicinity priority: closest to the client's reference KF
+            anchor = book.kf_l2s.get(book.closest_kf, book.last_kf_slot)
+            if anchor is not None and anchor >= 0 and len(slots) > cap:
+                covis = np.array(ms.covisibility_row(
+                    self.m, jnp.int32(anchor)))
+                order = np.argsort(-covis[slots])
+                slots = slots[order][:cap]
+            else:
+                slots = slots[:cap]
+            local_ids = self.kf_local[slots]
+            ok = local_ids >= 0
+            slots, local_ids = slots[ok], local_ids[ok]
+            if len(slots) == 0:
+                book.dirty_kfs = []
+                continue
+            poses = np.array(self.m.kf_pose)[slots]
+            ku = protocol.KFUpdatePayload(
+                agent=a, local_id=local_ids.astype(np.int32), T_abs=poses,
+                locked=np.ones(len(slots), bool))
+            # locked landmark updates for this agent's own points
+            own_mp = [(l, s) for l, s in book.mp_l2s.items()]
+            mu = None
+            if own_mp:
+                lids = np.asarray([l for l, _ in own_mp], np.int32)
+                sl = np.asarray([s for _, s in own_mp])
+                mu = protocol.MPUpdatePayload(
+                    agent=a, local_id=lids,
+                    pos_abs=np.array(self.m.mp_pos)[sl],
+                    locked=np.ones(len(sl), bool))
+            delta = protocol.MapDelta(agent=a, kf_updates=ku, mp_updates=mu)
+            self.transport.send_down(a, delta.to_bytes())
+            remaining = sorted(set(book.dirty_kfs) - set(slots.tolist()))
+            book.dirty_kfs = remaining

@@ -193,6 +193,48 @@ def add_mappoints(m: MapState, pos: jnp.ndarray, ok: jnp.ndarray,
     return m._replace(kf_mp=kfmp), slots
 
 
+@jax.jit
+def add_mappoints_raw(m: MapState, pos: jnp.ndarray, ok: jnp.ndarray,
+                      desc: jnp.ndarray, ref_kf: jnp.ndarray,
+                      agent=0) -> tuple[MapState, jnp.ndarray]:
+    """Batch-insert landmarks WITHOUT writing feature associations — the
+    network-ingest path (server builds MapPoints from messages,
+    Communicator::ProcessMpInServer; associations arrive separately with
+    the keyframe payloads). ref_kf: (B,) per-point reference KF slot."""
+    B = pos.shape[0]
+    offset = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    slots = jnp.where(ok, m.n_mp + offset, NO_MP)
+    in_cap = (slots >= 0) & (slots < m.max_mp)
+    slots = jnp.where(in_cap, slots, NO_MP)
+    slot_safe = jnp.where(slots >= 0, slots, m.max_mp - 1)
+    write = slots >= 0
+
+    def upd(arr, val):
+        cur = arr[slot_safe]
+        shaped = jnp.where(write.reshape((B,) + (1,) * (val.ndim - 1)),
+                           val, cur)
+        return arr.at[slot_safe].set(shaped)
+
+    ref_safe = jnp.clip(ref_kf, 0, m.max_kf - 1)
+    R = m.kf_pose[ref_safe, :3, :3]
+    t = m.kf_pose[ref_safe, :3, 3]
+    cam_center = -jnp.einsum("bji,bj->bi", R, t)
+    view = pos - cam_center
+    dist = jnp.linalg.norm(view, axis=-1) + 1e-8
+    m = m._replace(
+        mp_pos=upd(m.mp_pos, pos),
+        mp_valid=upd(m.mp_valid, jnp.ones(B, bool)),
+        mp_agent=upd(m.mp_agent, jnp.full((B,), agent, jnp.int32)),
+        mp_desc=upd(m.mp_desc, desc),
+        mp_normal=upd(m.mp_normal, view / dist[:, None]),
+        mp_min_dist=upd(m.mp_min_dist, dist * 0.5),
+        mp_max_dist=upd(m.mp_max_dist, dist * 2.0),
+        mp_ref_kf=upd(m.mp_ref_kf, ref_kf.astype(jnp.int32)),
+        n_mp=jnp.minimum(m.n_mp + jnp.sum(ok.astype(jnp.int32)),
+                         jnp.int32(m.max_mp)))
+    return m, slots
+
+
 def covisibility_row(m: MapState, kf: jnp.ndarray) -> jnp.ndarray:
     """Shared-map-point counts between keyframe `kf` and every other KF
     (reference KeyFrame::UpdateConnections weight computation).

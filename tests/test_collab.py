@@ -1,0 +1,138 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multi_orbslam3_tpu import config as cfg
+from multi_orbslam3_tpu.collab import protocol
+from multi_orbslam3_tpu.collab.client import CollabClient
+from multi_orbslam3_tpu.collab.server import CollabServer
+from multi_orbslam3_tpu.collab.transport import (InProcessTransport,
+                                                 SocketTransportClient,
+                                                 SocketTransportServer)
+from multi_orbslam3_tpu.dataio import synthetic
+from multi_orbslam3_tpu.eval import ate
+
+
+def small_config():
+    c = cfg.synthetic_mono(width=320, height=240)
+    return c.replace(
+        orb=cfg.ORBConfig(n_features=256, n_levels=4),
+        map=cfg.MapConfig(max_keyframes=64, max_mappoints=2048, max_obs=16384,
+                          max_obs_per_kf=256),
+        local_mapping=cfg.LocalMappingConfig(local_ba_kfs=8, local_ba_fixed_kfs=4,
+                                             local_ba_points=1024,
+                                             local_ba_iters=8),
+        bow=cfg.BoWConfig(branching=6, levels=3),
+    )
+
+
+class TestProtocol:
+    def test_roundtrip(self):
+        rng = np.random.RandomState(0)
+        kfs = protocol.KFPayload(
+            agent=2, local_id=np.arange(3, dtype=np.int32),
+            timestamp=np.arange(3.0),
+            ref_ids=np.full((3, 3), -1, np.int32),
+            T_rel=np.zeros((3, 3, 4, 4), np.float32),
+            T_abs=np.tile(np.eye(4, dtype=np.float32), (3, 1, 1)),
+            is_first=np.asarray([True, False, False]),
+            uv=rng.rand(3, 8, 2).astype(np.float32),
+            desc=rng.randint(0, 2**32, (3, 8, 8), dtype=np.uint32),
+            level=np.zeros((3, 8), np.int32),
+            angle=np.zeros((3, 8), np.float32),
+            feat_valid=np.ones((3, 8), bool),
+            mp_local=np.full((3, 8), -1, np.int32))
+        delta = protocol.MapDelta(agent=2, seq=5, kfs=kfs, closest_kf=1)
+        data = delta.to_bytes()
+        out = protocol.MapDelta.from_bytes(data)
+        assert out.agent == 2 and out.seq == 5 and out.closest_kf == 1
+        np.testing.assert_array_equal(out.kfs.desc, kfs.desc)
+        np.testing.assert_array_equal(out.kfs.local_id, kfs.local_id)
+        assert out.mps is None
+
+    def test_socket_transport(self):
+        srv = SocketTransportServer()
+        cli = SocketTransportClient(agent=1, host="127.0.0.1", port=srv.port)
+        cli.send_up(1, b"hello-up")
+        import time
+        for _ in range(100):
+            msgs = srv.poll_up(1)
+            if msgs:
+                break
+            time.sleep(0.01)
+        assert msgs == [b"hello-up"]
+        srv.send_down(1, b"hello-down")
+        for _ in range(100):
+            msgs = cli.poll_down(1)
+            if msgs:
+                break
+            time.sleep(0.01)
+        assert msgs == [b"hello-down"]
+        cli.close()
+        srv.close()
+
+
+@pytest.mark.slow
+class TestCollabSingleAgent:
+    def test_server_mirrors_client_map(self):
+        c = small_config()
+        seq = synthetic.make_sequence(c, n_frames=25, n_points=500, seed=7,
+                                      trajectory="forward")
+        tr = InProcessTransport()
+        client = CollabClient(c, agent_id=0, transport=tr)
+        server = CollabServer(c, tr, n_agents=1, arena_kf=128, arena_mp=4096)
+        for i in range(seq.images.shape[0]):
+            client.process_frame(seq.images[i], float(seq.timestamps[i]))
+            client.comm_cycle()
+            server.comm_cycle()
+        n_client_kf = int(client.slam.m.n_kf)
+        assert server.stats["kf_ingested"] == n_client_kf
+        assert server.stats["mp_ingested"] > 50
+        assert server.stats["dropped_kf"] == 0
+        # server poses should match client poses (no corrections happened)
+        book = server.agents[0]
+        for lid, slot in book.kf_l2s.items():
+            np.testing.assert_allclose(
+                np.array(server.m.kf_pose[slot]),
+                np.array(client.slam.m.kf_pose[lid]), atol=2e-2)
+        # associations landed
+        n_assoc = int(jnp.sum(server.m.kf_mp >= 0))
+        assert n_assoc > 100, f"only {n_assoc} associations on server"
+
+
+@pytest.mark.slow
+class TestCollabTwoAgents:
+    def test_cross_agent_merge(self):
+        c = small_config()
+        # two agents traverse the SAME world with a time offset so their
+        # fields of view overlap
+        seq0 = synthetic.make_sequence(c, n_frames=30, n_points=600, seed=11,
+                                       trajectory="forward", phase=0.0)
+        seq1 = synthetic.make_sequence(c, n_frames=30, n_points=600, seed=11,
+                                       trajectory="forward", phase=0.35)
+        tr = InProcessTransport()
+        c0 = CollabClient(c, agent_id=0, transport=tr)
+        c1 = CollabClient(c, agent_id=1, transport=tr)
+        server = CollabServer(c, tr, n_agents=2, arena_kf=192, arena_mp=8192)
+        for i in range(30):
+            c0.process_frame(seq0.images[i], float(seq0.timestamps[i]))
+            c1.process_frame(seq1.images[i], float(seq1.timestamps[i]))
+            c0.comm_cycle()
+            c1.comm_cycle()
+            server.comm_cycle()
+        assert server.stats["kf_ingested"] > 10
+        # both agents contributed
+        agents_present = set(
+            np.array(server.m.kf_agent)[np.array(server.m.kf_valid)])
+        assert agents_present == {0, 1}
+        # the shared world should trigger a cross-agent merge
+        assert server.stats["merges"] >= 1, \
+            f"no merge happened: {server.stats}"
+        # after merge every valid KF is in one sub-map
+        valid = np.array(server.m.kf_valid)
+        maps = set(server.kf_map[valid])
+        assert len(maps) == 1, f"sub-maps after merge: {maps}"
+        # corrections flowed back to clients
+        total_corr = (c0.stats["corrections_applied"]
+                      + c1.stats["corrections_applied"])
+        assert total_corr > 0
