@@ -48,32 +48,45 @@ def _look_at(eye: np.ndarray, target: np.ndarray, up: np.ndarray) -> np.ndarray:
     return T
 
 
+def circular_pose_at(i: float, radius: float = 4.0, arc_rate: float = 0.04,
+                     height: float = 0.0, phase: float = 0.0,
+                     center_dist: float = 8.0) -> np.ndarray:
+    a = phase + arc_rate * i
+    eye = np.array([radius * np.sin(a), height + 0.2 * np.sin(3 * a),
+                    radius * np.cos(a) - center_dist])
+    target = np.array([0.0, 0.0, center_dist * 0.5])
+    return _look_at(eye, target, np.array([0.0, -1.0, 0.0]))
+
+
 def circular_trajectory(n_frames: int, radius: float = 4.0,
                         arc: float = 1.5 * np.pi, height: float = 0.0,
                         phase: float = 0.0,
                         center_dist: float = 8.0) -> np.ndarray:
     """Camera orbits looking at the landmark field center; returns (F, 4, 4)
     T_cw poses. `phase` offsets the start angle (per-agent trajectories)."""
-    Ts = []
-    for i in range(n_frames):
-        a = phase + arc * i / max(1, n_frames - 1)
-        eye = np.array([radius * np.sin(a), height + 0.2 * np.sin(3 * a),
-                        radius * np.cos(a) - center_dist])
-        target = np.array([0.0, 0.0, center_dist * 0.5])
-        Ts.append(_look_at(eye, target, np.array([0.0, -1.0, 0.0])))
-    return np.stack(Ts)
+    rate = arc / max(1, n_frames - 1)
+    return np.stack([circular_pose_at(i, radius, rate, height, phase,
+                                      center_dist) for i in range(n_frames)])
+
+
+def forward_pose_at(i: float, speed: float = 0.08, lateral: float = 0.4,
+                    phase: float = 0.0, sway_freq: float = 0.08) -> np.ndarray:
+    """Analytic smooth pose at (possibly fractional) frame index i — the
+    closed form lets IMU synthesis sample at sensor rate. Raising
+    `lateral`/`sway_freq` adds the acceleration excitation that makes
+    visual-inertial scale observable (accel ~ lateral * (20*sway_freq)^2)."""
+    eye = np.array([lateral * np.sin(sway_freq * i + phase),
+                    0.15 * np.sin(0.05 * i + phase), speed * i - 6.0])
+    target = eye + np.array([0.15 * np.sin(0.03 * i), 0.0, 4.0])
+    return _look_at(eye, target, np.array([0.0, -1.0, 0.0]))
 
 
 def forward_trajectory(n_frames: int, speed: float = 0.08,
-                       lateral: float = 0.4, phase: float = 0.0) -> np.ndarray:
+                       lateral: float = 0.4, phase: float = 0.0,
+                       sway_freq: float = 0.08) -> np.ndarray:
     """Gentle forward motion with lateral sway — the easy tracking case."""
-    Ts = []
-    for i in range(n_frames):
-        eye = np.array([lateral * np.sin(0.08 * i + phase),
-                        0.15 * np.sin(0.05 * i + phase), speed * i - 6.0])
-        target = eye + np.array([0.15 * np.sin(0.03 * i), 0.0, 4.0])
-        Ts.append(_look_at(eye, target, np.array([0.0, -1.0, 0.0])))
-    return np.stack(Ts)
+    return np.stack([forward_pose_at(i, speed, lateral, phase, sway_freq)
+                     for i in range(n_frames)])
 
 
 def make_world(n_points: int, seed: int,
@@ -128,12 +141,14 @@ def _intrinsics(cam_cfg) -> np.ndarray:
 def make_sequence(config, n_frames: int = 60, n_points: int = 600,
                   seed: int = 0, trajectory: str = "forward",
                   phase: float = 0.0, imu: bool = False,
-                  fps: float = 20.0) -> SyntheticSequence:
+                  fps: float = 20.0, lateral: float = 0.4,
+                  sway_freq: float = 0.08) -> SyntheticSequence:
     cam = config.camera
     K = _intrinsics(cam)
     points, patches = make_world(n_points, seed)
     if trajectory == "forward":
-        T_cw = forward_trajectory(n_frames, phase=phase)
+        T_cw = forward_trajectory(n_frames, phase=phase, lateral=lateral,
+                                  sway_freq=sway_freq)
     elif trajectory == "circle":
         T_cw = circular_trajectory(n_frames, phase=phase)
     else:
@@ -146,47 +161,57 @@ def make_sequence(config, n_frames: int = 60, n_points: int = 600,
     seq = SyntheticSequence(images=images, T_cw=T_cw.astype(np.float32),
                             timestamps=ts, points=points.astype(np.float32))
     if imu:
-        seq = _add_imu(seq, config, fps)
+        if trajectory == "forward":
+            pose_at = lambda i: forward_pose_at(  # noqa: E731
+                i, phase=phase, lateral=lateral, sway_freq=sway_freq)
+        else:
+            arc_rate = 1.5 * np.pi / max(1, n_frames - 1)
+            pose_at = lambda i: circular_pose_at(  # noqa: E731
+                i, arc_rate=arc_rate, phase=phase)
+        seq = _add_imu(seq, config, fps, pose_at)
     return seq
 
 
-def _add_imu(seq: SyntheticSequence, config, fps: float) -> SyntheticSequence:
-    """Generate body-frame gyro/accel consistent with the (smoothed)
-    trajectory by finite differences. Body frame = camera frame (T_bc = I
-    unless configured otherwise)."""
+def _add_imu(seq: SyntheticSequence, config, fps: float,
+             pose_at) -> SyntheticSequence:
+    """Generate body-frame gyro/accel by sampling the ANALYTIC trajectory
+    at sensor rate (central differences at IMU dt — O(dt^2) accurate, so
+    preintegration residuals are tiny). Body frame = camera frame."""
     imu_cfg = config.imu
     S = int(round(imu_cfg.rate_hz / fps))
     F = seq.T_cw.shape[0]
-    g_w = np.array([0.0, 0.0, -imu_cfg.gravity])  # world gravity (z-up world)
+    g_w = np.array([0.0, 0.0, -imu_cfg.gravity])
     dt = 1.0 / imu_cfg.rate_hz
-    # world-from-body poses per frame; interpolate at IMU rate
-    T_wb = np.linalg.inv(seq.T_cw)
-    # positions & rotations
-    pos = T_wb[:, :3, 3]
-    # velocity/acceleration by central differences on frame positions
+    frames_per_s = fps
     acc_list = np.zeros((F, S, 3), np.float32)
     gyr_list = np.zeros((F, S, 3), np.float32)
     t_list = np.zeros((F, S), np.float32)
-    frame_dt = 1.0 / fps
-    vel = np.gradient(pos, frame_dt, axis=0)
-    accw = np.gradient(vel, frame_dt, axis=0)
+
+    def T_wb_at(t_abs: float) -> np.ndarray:
+        return np.linalg.inv(pose_at(t_abs * frames_per_s))
+
     for i in range(1, F):
-        R_wb = T_wb[i, :3, :3]
-        # gyro from relative rotation between frames
-        dR = T_wb[i - 1, :3, :3].T @ T_wb[i, :3, :3]
-        # log map (numpy, small angles)
-        cos_t = np.clip((np.trace(dR) - 1) / 2, -1, 1)
-        th = np.arccos(cos_t)
-        if th < 1e-8:
-            w = np.zeros(3)
-        else:
-            w = th / (2 * np.sin(th)) * np.array(
-                [dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0], dR[1, 0] - dR[0, 1]])
-        omega_b = w / frame_dt
-        a_b = R_wb.T @ (accw[i] - g_w)
+        t0 = seq.timestamps[i - 1]
         for s in range(S):
-            acc_list[i, s] = a_b
+            t = t0 + (s + 0.5) * dt      # sample mid-interval
+            Tm = T_wb_at(t - dt)
+            Tc = T_wb_at(t)
+            Tp = T_wb_at(t + dt)
+            R = Tc[:3, :3]
+            # gyro: average of the two one-step rotations
+            dR = Tm[:3, :3].T @ Tp[:3, :3]
+            cos_t = np.clip((np.trace(dR) - 1) / 2, -1, 1)
+            th = np.arccos(cos_t)
+            if th < 1e-10:
+                w = np.zeros(3)
+            else:
+                w = th / (2 * np.sin(th)) * np.array(
+                    [dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0],
+                     dR[1, 0] - dR[0, 1]])
+            omega_b = w / (2 * dt)
+            a_w = (Tp[:3, 3] - 2 * Tc[:3, 3] + Tm[:3, 3]) / (dt * dt)
+            acc_list[i, s] = R.T @ (a_w - g_w)
             gyr_list[i, s] = omega_b
-            t_list[i, s] = seq.timestamps[i - 1] + (s + 1) * dt
+            t_list[i, s] = t0 + (s + 1) * dt
     return dataclasses.replace(seq, imu_acc=acc_list, imu_gyro=gyr_list,
                                imu_t=t_list)

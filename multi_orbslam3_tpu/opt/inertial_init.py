@@ -35,8 +35,12 @@ class InertialInitResult(NamedTuple):
     chi2: jnp.ndarray     # () mean residual chi2
 
 
-def _residuals(theta, R_wb, p_wb, preints: Preintegrated, G):
-    """Stacked 9-dim residuals over K-1 consecutive pairs."""
+def _residuals(theta, R_wb, p_wb, preints: Preintegrated, G,
+               floor=(1e-3, 1e-3, 1e-3)):
+    """Stacked 9-dim residuals over K-1 consecutive pairs. `floor` is the
+    (rot, vel, pos) visual-pose noise added to the preintegration
+    covariance before whitening — callers with noisy SLAM poses pass
+    cm-level values, unit tests with exact poses keep the default."""
     K = R_wb.shape[0]
     alpha, beta = theta[0], theta[1]
     s = jnp.exp(theta[2])
@@ -63,31 +67,44 @@ def _residuals(theta, R_wb, p_wb, preints: Preintegrated, G):
                       - 0.5 * g_w * dt * dt) - pre_dP
         r = jnp.concatenate([r_R, r_v, r_p])
         # whiten with the preintegration information (the reference weights
-        # EdgeInertialGS with Preintegrated::GetInformationMatrix)
-        L = jnp.linalg.cholesky(preints.cov[i + 1] + 1e-10 * jnp.eye(9))
+        # EdgeInertialGS with Preintegrated::GetInformationMatrix) plus a
+        # visual-pose noise floor: without it the near-singular whitening
+        # turns pose noise into a rugged landscape
+        fl = jnp.diag(jnp.asarray([floor[0]] * 3 + [floor[1]] * 3
+                                  + [floor[2]] * 3) ** 2)
+        L = jnp.linalg.cholesky(preints.cov[i + 1] + fl)
         return jax.scipy.linalg.solve_triangular(L, r, lower=True)
 
     return jax.vmap(pair)(jnp.arange(K - 1)).reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale", "pose_sigma"))
 def inertial_init(R_wb: jnp.ndarray, p_wb: jnp.ndarray,
                   preints: Preintegrated, G: float = 9.81,
                   prior_bg: float = 1e2, prior_ba: float = 1e5,
                   iters: int = 20,
-                  fix_scale: bool = False) -> InertialInitResult:
+                  fix_scale: bool = False,
+                  pose_sigma=(1e-3, 1e-3, 1e-3)) -> InertialInitResult:
     """R_wb/p_wb: (K, 3, 3)/(K, 3) world-from-body keyframe poses (visual,
     arbitrary scale). preints: stacked Preintegrated with leading axis K —
     entry i holds the window from KF i-1 to KF i (entry 0 unused).
     """
     K = R_wb.shape[0]
     n_param = 9 + 3 * K
-    theta0 = jnp.zeros(n_param)
-    # init velocities from position differences
-    dts = jnp.maximum(preints.dT[1:], 1e-3)
-    v_init = (p_wb[1:] - p_wb[:-1]) / dts[:, None]
-    v_init = jnp.concatenate([v_init[:1], v_init], axis=0)
-    theta0 = theta0.at[9:].set(v_init.reshape(-1))
+
+    # gravity-direction seed from accumulated velocity deltas (the
+    # reference's dirG estimate in LocalMapping::InitializeIMU): in the
+    # visual frame, sum_i R_i dV_i = v_K - v_0 - g*T ~ -g * total_time,
+    # so gravity points along the NEGATIVE accumulated delta
+    dirG = -jnp.sum(jnp.einsum("kij,kj->ki", R_wb[:-1], preints.dV[1:]),
+                    axis=0)
+    dirG = dirG / (jnp.linalg.norm(dirG) + 1e-9)
+    g0 = jnp.array([0.0, 0.0, -1.0])
+    axis = jnp.cross(g0, dirG)
+    sin_a = jnp.linalg.norm(axis)
+    cos_a = jnp.dot(g0, dirG)
+    ang = jnp.arctan2(sin_a, cos_a)
+    w_seed = axis / (sin_a + 1e-9) * ang   # only (x, y) enter the model
 
     # parameter prior weights (bias random-walk priors, reference
     # EdgePriorGyro/EdgePriorAcc)
@@ -96,19 +113,44 @@ def inertial_init(R_wb: jnp.ndarray, p_wb: jnp.ndarray,
     if fix_scale:
         prior = prior.at[2].set(1e12)
 
-    def gn(_, theta):
-        r = _residuals(theta, R_wb, p_wb, preints, G)
-        J = jax.jacfwd(_residuals)(theta, R_wb, p_wb, preints, G)
-        H = J.T @ J + jnp.diag(prior) + 1e-6 * jnp.eye(n_param)
-        g = J.T @ r + prior * theta
-        d = jnp.linalg.solve(H, -g)
-        d = jnp.where(jnp.isfinite(d), d, 0.0)
-        return theta + d
+    def solve_from(log_s0):
+        theta0 = jnp.zeros(n_param)
+        theta0 = theta0.at[0].set(w_seed[0]).at[1].set(w_seed[1])
+        theta0 = theta0.at[2].set(log_s0)
+        dts = jnp.maximum(preints.dT[1:], 1e-3)
+        v_init = jnp.exp(log_s0) * (p_wb[1:] - p_wb[:-1]) / dts[:, None]
+        v_init = jnp.concatenate([v_init[:1], v_init], axis=0)
+        theta0 = theta0.at[9:].set(v_init.reshape(-1))
 
-    theta = jax.lax.fori_loop(0, iters, gn, theta0)
-    r = _residuals(theta, R_wb, p_wb, preints, G)
+        def gn(_, theta):
+            r = _residuals(theta, R_wb, p_wb, preints, G, pose_sigma)
+            J = jax.jacfwd(_residuals)(theta, R_wb, p_wb, preints, G,
+                                       pose_sigma)
+            H = J.T @ J + jnp.diag(prior) + 1e-6 * jnp.eye(n_param)
+            g = J.T @ r + prior * theta
+            d = jnp.linalg.solve(H, -g)
+            d = jnp.where(jnp.isfinite(d), d, 0.0)
+            theta = theta + d
+            # keep log-scale in a sane bracket (degenerate motions are
+            # scale-flat; unbounded drift poisons the multi-start argmin)
+            return theta.at[2].set(jnp.clip(theta[2], -4.0, 5.0))
+
+        theta = jax.lax.fori_loop(0, iters, gn, theta0)
+        r = _residuals(theta, R_wb, p_wb, preints, G, pose_sigma)
+        return theta, jnp.mean(r * r)
+
+    # multi-start over scale: the joint (scale, gravity, velocity) landscape
+    # has local minima for gently-excited trajectories; a vmapped GN from
+    # log-spaced scale seeds is cheap and reliably brackets the optimum
+    if fix_scale:
+        seeds = jnp.asarray([0.0])
+    else:
+        seeds = jnp.log(jnp.asarray([0.25, 1.0, 4.0, 16.0, 64.0]))
+    thetas, chi2s = jax.vmap(solve_from)(seeds)
+    best = jnp.argmin(chi2s)
+    theta = thetas[best]
     R_wg = so3.exp(jnp.stack([theta[0], theta[1], jnp.zeros(())]))
     return InertialInitResult(
         R_wg=R_wg, scale=jnp.exp(theta[2]), bg=theta[3:6], ba=theta[6:9],
         velocities=theta[9:].reshape(K, 3),
-        chi2=jnp.mean(r * r))
+        chi2=chi2s[best])

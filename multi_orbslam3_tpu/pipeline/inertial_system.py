@@ -1,0 +1,272 @@
+"""Monocular-inertial SLAM system.
+
+Extends MonoSlam with the reference's visual-inertial machinery
+(Tracking::PreintegrateIMU/PredictStateIMU src/Tracking.cc:1231/:1363,
+LocalMapping::InitializeIMU + staged VIBA1/VIBA2 src/LocalMapping.cc:
+1390-1585, Map::ApplyScaledRotation src/Map.cc:438-496):
+
+- IMU samples between frames are preintegrated (fixed-cap windows) and
+  accumulated per keyframe interval;
+- after enough keyframes + integration time, inertial initialization
+  estimates gravity/scale/bias; the whole map is re-gauged so gravity is
+  world -z and scale is metric (the ApplyScaledRotation analog), after
+  which ``inertial_ready`` gates collaborative uplink exactly like the
+  reference's GetInertialBA1 gate (Atlas.cc:134,155);
+- tracking prediction switches from the constant-velocity model to IMU
+  state propagation;
+- keyframe-window BA switches to the visual-inertial solver.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_orbslam3_tpu.config import SystemConfig
+from multi_orbslam3_tpu.geometry import se3, sim3, so3
+from multi_orbslam3_tpu.imu import preintegration as pre
+from multi_orbslam3_tpu.map import mapstate as ms
+from multi_orbslam3_tpu.opt import inertial_ba, inertial_init
+from multi_orbslam3_tpu.opt.local_ba import BAObservations
+from multi_orbslam3_tpu.pipeline.system import MonoSlam, TrackState
+from multi_orbslam3_tpu.pipeline.tracking import level_inv_sigma2
+
+
+class MonoInertialSlam(MonoSlam):
+    def __init__(self, config: SystemConfig, agent_id: int = 0,
+                 enable_loop_closing: bool = True, vocabulary=None):
+        super().__init__(config, agent_id, enable_loop_closing, vocabulary)
+        self.calib = pre.ImuCalib.from_config(config.imu)
+        self.g_w = np.array([0.0, 0.0, -config.imu.gravity], np.float32)
+        self.imu_initialized = False
+        self.inertial_ready = False          # VIBA1 gate for uplink
+        self.bg = np.zeros(3, np.float32)
+        self.ba_bias = np.zeros(3, np.float32)
+        self.v_cur = np.zeros(3, np.float32)
+        # per-KF inertial state (host mirrors, slot-indexed)
+        mk = config.map.max_keyframes
+        self.kf_velocity = np.zeros((mk, 3), np.float32)
+        self.kf_preint: List[Optional[pre.Preintegrated]] = [None] * mk
+        self._accum: Optional[pre.Preintegrated] = None   # since last KF
+        # scale observability needs integration time + excitation: wait for
+        # a long-enough KF chain (the reference stages VIBA1 at ~2-3 s and
+        # refines at ~6 s, src/LocalMapping.cc:272-304)
+        self._init_kf_count = 20
+        self._min_init_time = 2.0
+        self._refine_time = 4.0              # VIBA2-analog refinement
+        self._refined = False
+
+    # ------------------------------------------------------------------
+    def process_frame_imu(self, img: np.ndarray, timestamp: float,
+                          acc: np.ndarray, gyro: np.ndarray,
+                          dt: np.ndarray) -> TrackState:
+        """acc/gyro: (S, 3) samples since the previous frame; dt: (S,)
+        with zeros for padding (reference GrabImuData + PreintegrateIMU)."""
+        S_cap = self.cfg.imu.max_samples_per_frame
+        acc = _pad_to(acc, S_cap)
+        gyro = _pad_to(gyro, S_cap)
+        dt = _pad_to(dt, S_cap)
+        window = pre.preintegrate(
+            jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dt),
+            jnp.asarray(self.bg), jnp.asarray(self.ba_bias), self.calib)
+        self._accum = window if self._accum is None else \
+            pre.merge_preintegrated(self._accum, window)
+        self._frame_window = window
+        return self.process_frame(img, timestamp)
+
+    # ------------------------------------------------------------------
+    def _track(self, feats, ts):
+        prev_center = -self.T_cur[:3, :3].T @ self.T_cur[:3, 3]
+        prev_ts = getattr(self, "_last_ts", None)
+        if self.imu_initialized:
+            # IMU prediction replaces the constant-velocity model
+            T_wb = np.linalg.inv(self.T_cur)     # T_bc = I assumed here
+            R2, v2, p2 = pre.predict_state(
+                jnp.asarray(T_wb[:3, :3]), jnp.asarray(self.v_cur),
+                jnp.asarray(T_wb[:3, 3]), self._frame_window,
+                jnp.asarray(self.g_w), jnp.asarray(self.bg),
+                jnp.asarray(self.ba_bias))
+            T_wb2 = np.eye(4, dtype=np.float32)
+            T_wb2[:3, :3] = np.asarray(R2)
+            T_wb2[:3, 3] = np.asarray(p2)
+            T_pred = np.linalg.inv(T_wb2).astype(np.float32)
+            self.v_cur = np.asarray(v2)
+            # feed the motion model with the IMU prediction
+            self.T_vel = (T_pred @ np.linalg.inv(self.T_cur)).astype(
+                np.float32)
+        super()._track(feats, ts)
+        # visual velocity correction: IMU-propagated velocity drifts with
+        # bias error between keyframes; re-anchor it to the tracked motion
+        # (the reference refreshes mVw from UpdateFrameIMU / pose updates)
+        if self.imu_initialized and self.state == TrackState.OK \
+                and prev_ts is not None and ts > prev_ts:
+            center = -self.T_cur[:3, :3].T @ self.T_cur[:3, 3]
+            v_fd = (center - prev_center) / (ts - prev_ts)
+            self.v_cur = (0.5 * self.v_cur + 0.5 * v_fd).astype(np.float32)
+        self._last_ts = ts
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self, feats, ts):
+        super()._try_initialize(feats, ts)
+        if self.state == TrackState.OK:
+            # the two-view bootstrap created KF0+KF1 outside
+            # _insert_keyframe: attach the accumulated window to KF1
+            self.kf_preint[1] = self._accum
+            self._accum = None
+
+    # ------------------------------------------------------------------
+    def _insert_keyframe(self, feats, feat_mp, ts):
+        prev_n = int(self.m.n_kf)
+        super()._insert_keyframe(feats, feat_mp, ts)
+        if int(self.m.n_kf) > prev_n:       # insertion succeeded
+            k = int(self.m.n_kf) - 1
+            self.kf_preint[k] = self._accum
+            self.kf_velocity[k] = self.v_cur
+            self._accum = None
+            if not self.imu_initialized:
+                self._maybe_initialize_imu()
+            else:
+                if not self._refined:
+                    total_t = sum(float(p.dT) for p in
+                                  self.kf_preint[1:int(self.m.n_kf)]
+                                  if p is not None)
+                    if total_t > self._refine_time:
+                        self._refined = True
+                        self._maybe_initialize_imu(refine=True)
+                if k >= 3:
+                    self._inertial_window_ba(k)
+
+    # ------------------------------------------------------------------
+    def _maybe_initialize_imu(self, refine: bool = False):
+        n = int(self.m.n_kf)
+        if not refine:
+            if n < self._init_kf_count:
+                return
+        preints = [self.kf_preint[k] for k in range(1, n)]
+        if any(p is None for p in preints):
+            return
+        total_t = float(sum(float(p.dT) for p in preints))
+        if not refine and total_t < self._min_init_time:
+            return
+        # body poses from camera poses (T_bc = I)
+        T_cw = np.array(self.m.kf_pose[:n])
+        T_wb = np.linalg.inv(T_cw)
+        stacked = jax.tree_util.tree_map(
+            lambda *x: jnp.stack(x), *([pre.empty_preintegrated()] + preints))
+        res = inertial_init.inertial_init(
+            jnp.asarray(T_wb[:, :3, :3]), jnp.asarray(T_wb[:, :3, 3]),
+            stacked, G=self.cfg.imu.gravity,
+            # SLAM poses carry cm-level noise, far above IMU noise
+            pose_sigma=(1e-2, 5e-2, 5e-2))
+        if not bool(jnp.isfinite(res.chi2)) or float(res.chi2) > 1e3:
+            return
+        s = float(res.scale)
+        R_wg = np.asarray(res.R_wg)
+        # re-gauge the map: X_new = s * R_wg^T X_vis  (ApplyScaledRotation)
+        S_corr = sim3.Sim3(R=jnp.asarray(R_wg.T),
+                           t=jnp.zeros(3), s=jnp.float32(s))
+        self._apply_map_gauge(S_corr)
+        # velocities from the init are metric already (the residual scales
+        # positions, not velocities) — the re-gauge only rotates them
+        v = np.asarray(res.velocities)
+        self.kf_velocity[:n] = (R_wg.T @ v.T).T.astype(np.float32)
+        self.v_cur = self.kf_velocity[n - 1]
+        self.bg = np.asarray(res.bg)
+        self.ba_bias = np.asarray(res.ba)
+        self.imu_initialized = True
+        self.inertial_ready = True          # VIBA1-passed gate
+        self.stats["imu_init_scale"] = s
+        self._inertial_window_ba(n - 1)
+
+    def _apply_map_gauge(self, S: sim3.Sim3):
+        """Transform every map entity by similarity S (world re-gauge)."""
+        m = self.m
+        new_mp = sim3.apply(S, m.mp_pos)
+        S_cw = sim3.from_se3(m.kf_pose)
+        S_new = sim3.compose(S_cw, sim3.inverse(S))
+        new_pose = se3.make(S_new.R, S_new.t / S_new.s[..., None])
+        self.m = m._replace(
+            mp_pos=jnp.where(m.mp_valid[:, None], new_mp, m.mp_pos),
+            kf_pose=jnp.where(m.kf_valid[:, None, None], new_pose,
+                              m.kf_pose))
+        self.T_cur = np.array(self.m.kf_pose[self.ref_kf])
+
+    # ------------------------------------------------------------------
+    def _inertial_window_ba(self, k_last: int, window: int = 8,
+                            n_anchor: int = 3):
+        """Temporal-window visual-inertial BA (LocalInertialBA analog:
+        sliding window over the most recent keyframes, with a pose-fixed
+        anchor prefix so shared landmarks stay consistent with the
+        out-of-window map — the reference's fixed-KF ring)."""
+        n = int(self.m.n_kf)
+        k0 = max(0, k_last - window - n_anchor + 1)
+        slots = list(range(k0, k_last + 1))
+        Kw = len(slots)
+        n_fixed_prefix = max(1, Kw - window)
+        if Kw < 2:
+            return
+        preints = [pre.empty_preintegrated()]
+        pair_valid = [False]
+        for k in slots[1:]:
+            p = self.kf_preint[k]
+            if p is None:
+                preints.append(pre.empty_preintegrated())
+                pair_valid.append(False)
+            else:
+                preints.append(p)
+                pair_valid.append(True)
+        stacked = jax.tree_util.tree_map(
+            lambda *x: jnp.stack(x), *preints)
+        m = self.m
+        sl = jnp.asarray(slots, jnp.int32)
+        # window landmarks
+        obs_mp = m.kf_mp[sl]                       # (Kw, N)
+        n_pts = self.cfg.local_mapping.local_ba_points
+        uniq = jnp.unique(obs_mp, size=n_pts, fill_value=ms.NO_MP)
+        pt_ok = uniq >= 0
+        lut = jnp.full((m.max_mp + 1,), -1, jnp.int32)
+        lut = lut.at[jnp.where(pt_ok, uniq, m.max_mp)].set(
+            jnp.where(pt_ok, jnp.arange(n_pts, dtype=jnp.int32), -1))
+        flat_mp = obs_mp.reshape(-1)
+        local_pt = lut[jnp.where(flat_mp >= 0, flat_mp, m.max_mp)]
+        N = m.kf_mp.shape[1]
+        obs = BAObservations(
+            kf=jnp.repeat(jnp.arange(Kw, dtype=jnp.int32), N),
+            pt=jnp.where(local_pt >= 0, local_pt, 0),
+            uv=m.kf_uv[sl].reshape(-1, 2),
+            inv_sigma2=level_inv_sigma2(m.kf_level[sl].reshape(-1),
+                                        self.cfg.orb.scale_factor),
+            valid=(flat_mp >= 0) & (local_pt >= 0)
+            & m.kf_feat_valid[sl].reshape(-1))
+        fixed = jnp.arange(Kw) < n_fixed_prefix
+        fixed = fixed | self.m.kf_pose_locked[sl]
+        res = inertial_ba.inertial_bundle_adjust(
+            m.kf_pose[sl], jnp.asarray(self.kf_velocity[k0:k_last + 1]),
+            jnp.tile(jnp.asarray(self.bg), (Kw, 1)),
+            jnp.tile(jnp.asarray(self.ba_bias), (Kw, 1)),
+            fixed, m.mp_pos[jnp.where(pt_ok, uniq, 0)], obs, stacked,
+            jnp.asarray(pair_valid), self.K, jnp.asarray(self.g_w),
+            se3.identity(), iters=6)
+        # write back
+        kf_pose_ext = jnp.concatenate([m.kf_pose, jnp.zeros((1, 4, 4))], 0)
+        kf_pose = kf_pose_ext.at[sl].set(res.poses)[:m.max_kf]
+        mp_ext = jnp.concatenate([m.mp_pos, jnp.zeros((1, 3))], 0)
+        mp_pos = mp_ext.at[jnp.where(pt_ok, uniq, m.max_mp)].set(
+            res.points)[:m.max_mp]
+        self.m = m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+        self.kf_velocity[k0:k_last + 1] = np.asarray(res.velocities)
+        self.bg = np.asarray(res.bg[-1])
+        self.ba_bias = np.asarray(res.ba[-1])
+        self.v_cur = self.kf_velocity[k_last]
+        self.T_cur = np.array(self.m.kf_pose[k_last])
+
+
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    x = np.asarray(x, np.float32)
+    if x.shape[0] >= n:
+        return x[:n]
+    pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad)
