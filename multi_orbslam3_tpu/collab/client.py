@@ -175,6 +175,12 @@ class CollabClient:
                     m = m._replace(mp_pos=m.mp_pos.at[ids].set(
                         jnp.asarray(mu.pos_abs[apply])))
                     self._sent_mp_pos[mu.local_id[apply]] = mu.pos_abs[apply]
+            if delta.erased_kf is not None:
+                # server culled these keyframes (ProcessErasedKf flow)
+                for lid in delta.erased_kf:
+                    lid = int(lid)
+                    if lid != self.slam.ref_kf and 0 <= lid < int(m.n_kf):
+                        m = ms.erase_keyframe(m, jnp.int32(lid))
             self.slam.m = m
             self.slam.T_cur = np.array(self.slam.m.kf_pose[self.slam.ref_kf]) \
                 if bool(self.slam.m.kf_pose_locked[self.slam.ref_kf]) \

@@ -58,6 +58,7 @@ class AgentBook:
     streak: int = 0
     pending: List[bytes] = dataclasses.field(default_factory=list)
     dirty_kfs: List[int] = dataclasses.field(default_factory=list)
+    erased_out: List[int] = dataclasses.field(default_factory=list)
 
 
 class CollabServer:
@@ -109,6 +110,9 @@ class CollabServer:
                 mp_budget -= used_mp
         self._resolve_pending_assoc()
         self._run_place_recognition(run_gba=run_gba_on_events)
+        self._cycle_count = getattr(self, "_cycle_count", 0) + 1
+        if self._cycle_count % 8 == 0:
+            self._cull()
         self._downlink()
 
     # ------------------------------------------------------------------
@@ -426,6 +430,37 @@ class CollabServer:
         self._mark_all_dirty_and_lock()
 
     # ==================================================================
+    # culling (server-side only, like the reference: the client never
+    # culls, LocalMapping::RunServer -> KeyFrameCulling)
+    # ==================================================================
+    def _cull(self) -> None:
+        from multi_orbslam3_tpu.pipeline import culling
+        protect = np.zeros(self.m.max_kf, bool)
+        agents_arr = np.array(self.m.kf_agent)
+        valid = np.array(self.m.kf_valid)
+        for a, book in self.agents.items():
+            if book.last_kf_slot >= 0:
+                protect[book.last_kf_slot] = True
+            own = np.nonzero(valid & (agents_arr == a))[0]
+            protect[own[:1]] = True     # sub-map origin
+            protect[own[-3:]] = True    # newest few (still being tracked)
+        before = np.array(self.m.kf_valid)
+        self.m, n_kf, n_mp = culling.cull(self.m, jnp.asarray(protect))
+        if n_kf > 0:
+            after = np.array(self.m.kf_valid)
+            culled = np.nonzero(before & ~after)[0]
+            for slot in culled:
+                a = int(agents_arr[slot])
+                lid = int(self.kf_local[slot])
+                if lid >= 0:
+                    self.agents[a].erased_out = getattr(
+                        self.agents[a], "erased_out", []) + [lid]
+                self.db = dbm.erase_keyframe_bow(self.db, jnp.int32(slot))
+            self.stats["kf_culled"] = self.stats.get("kf_culled", 0) + n_kf
+        if n_mp > 0:
+            self.stats["mp_culled"] = self.stats.get("mp_culled", 0) + n_mp
+
+    # ==================================================================
     # downlink
     # ==================================================================
     def _downlink(self) -> None:
@@ -471,7 +506,11 @@ class CollabServer:
                     agent=a, local_id=lids,
                     pos_abs=np.array(self.m.mp_pos)[sl],
                     locked=np.ones(len(sl), bool))
-            delta = protocol.MapDelta(agent=a, kf_updates=ku, mp_updates=mu)
+            erased = getattr(book, "erased_out", [])
+            delta = protocol.MapDelta(
+                agent=a, kf_updates=ku, mp_updates=mu,
+                erased_kf=np.asarray(erased, np.int32) if erased else None)
+            book.erased_out = []
             self.transport.send_down(a, delta.to_bytes())
             remaining = sorted(set(book.dirty_kfs) - set(slots.tolist()))
             book.dirty_kfs = remaining

@@ -32,6 +32,8 @@ class SyntheticSequence:
     imu_acc: Optional[np.ndarray] = None   # (F, S, 3) body-frame accel
     imu_gyro: Optional[np.ndarray] = None  # (F, S, 3) body-frame gyro
     imu_t: Optional[np.ndarray] = None     # (F, S)
+    images_right: Optional[np.ndarray] = None  # (F, H, W) stereo right
+    depths: Optional[np.ndarray] = None        # (F, H, W) RGBD depth maps
 
 
 def _look_at(eye: np.ndarray, target: np.ndarray, up: np.ndarray) -> np.ndarray:
@@ -108,10 +110,13 @@ def make_world(n_points: int, seed: int,
 def render_frame(points: np.ndarray, patches: np.ndarray, T_cw: np.ndarray,
                  K: np.ndarray, width: int, height: int,
                  background: float = 12.0, noise_std: float = 2.0,
-                 rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+                 rng: Optional[np.random.RandomState] = None,
+                 with_depth: bool = False):
     """Splat landmark patches at projected positions. Nearest landmarks are
-    drawn last (painter's algorithm) so occlusion is roughly consistent."""
+    drawn last (painter's algorithm) so occlusion is roughly consistent.
+    With with_depth=True also returns a per-pixel depth map (0 = no data)."""
     img = np.full((height, width), background, np.float32)
+    dep = np.zeros((height, width), np.float32) if with_depth else None
     pc = points @ T_cw[:3, :3].T + T_cw[:3, 3]
     z = pc[:, 2]
     vis = z > 0.3
@@ -126,10 +131,13 @@ def render_frame(points: np.ndarray, patches: np.ndarray, T_cw: np.ndarray,
             continue
         ui, vi = int(round(u[i])), int(round(v[i]))
         img[vi - half: vi + half + 1, ui - half: ui + half + 1] = patches[i]
+        if with_depth:
+            dep[vi - half: vi + half + 1, ui - half: ui + half + 1] = z[i]
     if noise_std > 0:
         rng = rng or np.random.RandomState(0)
         img = img + rng.randn(height, width).astype(np.float32) * noise_std
-    return np.clip(img, 0.0, 255.0)
+    img = np.clip(img, 0.0, 255.0)
+    return (img, dep) if with_depth else img
 
 
 def _intrinsics(cam_cfg) -> np.ndarray:
@@ -154,12 +162,27 @@ def make_sequence(config, n_frames: int = 60, n_points: int = 600,
     else:
         raise ValueError(trajectory)
     rng = np.random.RandomState(seed + 1)
-    images = np.stack([
-        render_frame(points, patches, T_cw[i], K, cam.width, cam.height, rng=rng)
-        for i in range(n_frames)])
+    images, depths = [], []
+    for i in range(n_frames):
+        img, dep = render_frame(points, patches, T_cw[i], K, cam.width,
+                                cam.height, rng=rng, with_depth=True)
+        images.append(img)
+        depths.append(dep)
+    images = np.stack(images)
+    depths = np.stack(depths)
+    images_right = None
+    if cam.baseline > 0:
+        # right camera: shifted by -baseline along the camera x axis
+        T_shift = np.eye(4, dtype=np.float64)
+        T_shift[0, 3] = -cam.baseline
+        images_right = np.stack([
+            render_frame(points, patches, T_shift @ T_cw[i], K, cam.width,
+                         cam.height, rng=rng)
+            for i in range(n_frames)])
     ts = np.arange(n_frames) / fps
     seq = SyntheticSequence(images=images, T_cw=T_cw.astype(np.float32),
-                            timestamps=ts, points=points.astype(np.float32))
+                            timestamps=ts, points=points.astype(np.float32),
+                            images_right=images_right, depths=depths)
     if imu:
         if trajectory == "forward":
             pose_at = lambda i: forward_pose_at(  # noqa: E731

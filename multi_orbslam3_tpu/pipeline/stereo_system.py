@@ -1,0 +1,133 @@
+"""Stereo / RGBD SLAM systems.
+
+Replaces the reference's STEREO / RGBD sensor modes (Tracking::
+StereoInitialization src/Tracking.cc:2064, GrabImageStereo :1014,
+GrabImageRGBD :1086). Per the reference these modes run STANDALONE —
+collaborative sync is gated to monocular sensors
+(Communicator.cc:1675,1689) — so these systems reuse the mono tracking /
+mapping stack and add:
+
+- depth-seeded initialization: the very first frame builds the map (no
+  two-view bootstrap, metric scale for free);
+- depth-seeded landmark creation on keyframe insertion for close points
+  (the reference creates up to 100 nearest stereo points per new KF);
+- triangulation still runs for far points.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from multi_orbslam3_tpu.config import SystemConfig
+from multi_orbslam3_tpu.frontend import extractor, stereo
+from multi_orbslam3_tpu.frontend.extractor import FrameFeatures
+from multi_orbslam3_tpu.geometry import camera as cam
+from multi_orbslam3_tpu.map import mapstate as ms
+from multi_orbslam3_tpu.pipeline import local_mapping
+from multi_orbslam3_tpu.pipeline.system import MonoSlam, TrackState
+
+
+class StereoSlam(MonoSlam):
+    """sensor='stereo': process_frame_stereo(left, right, ts)."""
+
+    def __init__(self, config: SystemConfig, agent_id: int = 0,
+                 enable_loop_closing: bool = True, vocabulary=None):
+        super().__init__(config, agent_id, enable_loop_closing, vocabulary)
+        self._baseline_fx = jnp.float32(config.camera.baseline
+                                        * config.camera.fx)
+        self._depth_th = config.camera.depth_threshold \
+            * config.camera.baseline
+        self._cur_depth: Optional[stereo.StereoDepth] = None
+
+    # ------------------------------------------------------------------
+    def process_frame_stereo(self, img_left: np.ndarray,
+                             img_right: np.ndarray,
+                             timestamp: float) -> TrackState:
+        featsL = extractor.extract_features(
+            jnp.asarray(img_left, jnp.float32), self.cfg)
+        featsR = extractor.extract_features(
+            jnp.asarray(img_right, jnp.float32), self.cfg)
+        self._cur_depth = stereo.stereo_match(featsL, featsR,
+                                              self._baseline_fx)
+        return self._process_with_depth(featsL, timestamp)
+
+    # ------------------------------------------------------------------
+    def _process_with_depth(self, feats: FrameFeatures,
+                            timestamp: float) -> TrackState:
+        self.frame_id += 1
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._depth_initialize(feats, timestamp)
+        else:
+            self._track(feats, timestamp)
+        self.trajectory.append((timestamp, np.asarray(self.T_cur)))
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _depth_initialize(self, feats: FrameFeatures, ts: float) -> None:
+        """StereoInitialization: first frame IS the map (Tracking.cc:2064)."""
+        sd = self._cur_depth
+        ok = sd.valid & feats.valid & (sd.depth > 0.1)
+        if int(jnp.sum(ok)) < 50:
+            return
+        n = feats.n
+        no = jnp.full((n,), ms.NO_MP, jnp.int32)
+        self.m, k0 = ms.add_keyframe(self.m, feats, jnp.eye(4), ts, no, -1,
+                                     self.agent)
+        # back-project with depth
+        K = self.K
+        bearing = cam.unproject(K, feats.uv_und)
+        pts = bearing * sd.depth[:, None]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        self.m, slots = ms.add_mappoints(self.m, pts, ok, feats.desc,
+                                         k0, k0, idx, k0, idx, self.agent)
+        if self.loop_closer is not None:
+            self.m = self.loop_closer.on_keyframe(self.m, int(k0))
+        self.T_cur = np.eye(4, dtype=np.float32)
+        self.T_vel = np.eye(4, dtype=np.float32)
+        self.ref_kf = int(k0)
+        self.frames_since_kf = 0
+        self.state = TrackState.OK
+        self.stats["kf_inserted"] += 1
+        self.stats["mp_created"] += int(jnp.sum(slots >= 0))
+
+    # ------------------------------------------------------------------
+    def _insert_keyframe(self, feats: FrameFeatures, feat_mp, ts) -> None:
+        prev_n = int(self.m.n_kf)
+        super()._insert_keyframe(feats, feat_mp, ts)
+        k = int(self.m.n_kf) - 1
+        if int(self.m.n_kf) == prev_n or self._cur_depth is None:
+            return
+        # depth-seeded close points for unmatched features (the reference
+        # creates the ~100 closest stereo points, Tracking.cc:2952-3081)
+        sd = self._cur_depth
+        free = self.m.kf_feat_valid[k] & (self.m.kf_mp[k] == ms.NO_MP)
+        close = sd.valid & free & (sd.depth > 0.1) & \
+            (sd.depth < self._depth_th)
+        n_new = int(jnp.sum(close))
+        if n_new == 0:
+            return
+        T = jnp.asarray(self.T_cur)
+        bearing = cam.unproject(self.K, self.m.kf_uv[k])
+        p_cam = bearing * sd.depth[:, None]
+        pts_w = (p_cam - T[:3, 3][None, :]) @ T[:3, :3]  # = R^T (p_cam - t)
+        idx = jnp.arange(feats.n, dtype=jnp.int32)
+        self.m, slots = ms.add_mappoints(
+            self.m, pts_w, close, self.m.kf_desc[k], k, k, idx, k, idx,
+            self.agent)
+        self.stats["mp_created"] += int(jnp.sum(slots >= 0))
+
+
+class RGBDSlam(StereoSlam):
+    """sensor='rgbd': process_frame_rgbd(rgb_gray, depth, ts) — depth image
+    converted to virtual-right stereo (reference RGBDNode path)."""
+
+    def process_frame_rgbd(self, img: np.ndarray, depth: np.ndarray,
+                           timestamp: float) -> TrackState:
+        feats = extractor.extract_features(
+            jnp.asarray(img, jnp.float32), self.cfg)
+        self._cur_depth = stereo.rgbd_depth(
+            feats, jnp.asarray(depth, jnp.float32), self._baseline_fx)
+        return self._process_with_depth(feats, timestamp)

@@ -168,6 +168,14 @@ class MonoSlam:
             if int(res2.n_inliers) >= c.tracking.min_matches_refkf:
                 res, n_in = res2, int(res2.n_inliers)
 
+        if n_in < c.tracking.min_matches_refkf and self.lost_count >= 2:
+            # relocalization: BoW query against the keyframe database,
+            # candidate-pose seeded optimization (reference
+            # Tracking::Relocalization, src/Tracking.cc:3353)
+            res3 = self._relocalize(feats)
+            if res3 is not None:
+                res, n_in = res3, int(res3.n_inliers)
+
         if n_in >= c.tracking.min_matches_refkf:
             T_new = np.asarray(res.pose)
             self.T_vel = (T_new @ np.linalg.inv(self.T_cur)).astype(np.float32)
@@ -187,6 +195,30 @@ class MonoSlam:
             self.state = (TrackState.RECENTLY_LOST
                           if self.lost_count < c.tracking.relost_timeout
                           else TrackState.LOST)
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, feats: FrameFeatures):
+        """Database-wide recovery: query the loop closer's BoW database for
+        the best-matching keyframe and track against it from its pose."""
+        if self.loop_closer is None:
+            return None
+        from multi_orbslam3_tpu.bow import database as dbm
+        scores = dbm.query(self.loop_closer.db, self.loop_closer.voc,
+                           feats.desc, feats.valid,
+                           jnp.zeros(self.m.max_kf, bool))
+        best = int(jnp.argmax(scores))
+        if float(scores[best]) < 0.02:
+            return None
+        res = tracking.track_reference_kf(
+            self.m, jnp.int32(best), feats,
+            self.m.kf_pose[best], self.K,
+            scale_factor=self.cfg.orb.scale_factor)
+        if int(res.n_inliers) < self.cfg.tracking.min_matches_refkf:
+            return None
+        self.stats["relocalizations"] = self.stats.get(
+            "relocalizations", 0) + 1
+        self.ref_kf = best
+        return res
 
     # ------------------------------------------------------------------
     def _need_keyframe(self, n_inliers: int) -> bool:
