@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Multi-process collaborative client over TCP.
+
+Replaces the reference's orb_slam3_ros_client node + Client<k>_euroc
+.launch: runs MonoSlam on a synthetic or EuRoC sequence and streams map
+deltas to a run_server.py process.
+
+Usage:
+    python apps/run_client.py --agent 0 --server localhost:7007 \
+        --out /tmp/client0 [--frames 60] [--euroc /path/MH_01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--agent", type=int, required=True)
+    ap.add_argument("--server", default="127.0.0.1:7007")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--euroc", default=None)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    host, port = args.server.rsplit(":", 1)
+
+    from multi_orbslam3_tpu import config as cfg
+    from multi_orbslam3_tpu.collab.client import CollabClient
+    from multi_orbslam3_tpu.collab.transport import SocketTransportClient
+    from multi_orbslam3_tpu.dataio import synthetic, tum
+
+    c = cfg.euroc_mono() if args.euroc else cfg.synthetic_mono()
+    tr = SocketTransportClient(args.agent, host, int(port))
+    client = CollabClient(c, args.agent, tr)
+    if args.euroc:
+        from multi_orbslam3_tpu.dataio import euroc
+        for t, img in euroc.EurocSequence(args.euroc,
+                                          max_frames=args.frames):
+            client.process_frame(img, t)
+            client.comm_cycle()
+    else:
+        seq = synthetic.make_sequence(c, n_frames=args.frames, n_points=800,
+                                      seed=31, phase=0.35 * args.agent)
+        for i in range(args.frames):
+            client.process_frame(seq.images[i], float(seq.timestamps[i]))
+            client.comm_cycle()
+    tum.write_tum(os.path.join(args.out, "KeyFrameTrajectory.txt"),
+                  client.slam.keyframe_trajectory())
+    print(json.dumps(client.stats | client.slam.stats))
+    tr.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Map checkpoint / resume.
+
+The reference has boost-serialization scaffolding for Map/KeyFrame/
+MapPoint (Map::PreSave/PostLoad, src/Map.cc:715/777) but no built code
+path actually saves or loads a map (SaveMap commented out,
+src/ClientHandler.cc:153-167). Here save/load is a first-class feature:
+MapState is a NamedTuple of arrays, so a checkpoint is one npz file —
+no pointer-graph fixup pass needed.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from multi_orbslam3_tpu.map.mapstate import MapState
+
+
+def save_map(path: str, m: MapState, extra: Optional[Dict] = None) -> None:
+    arrays = {f"map.{name}": np.asarray(getattr(m, name))
+              for name in m._fields}
+    if extra:
+        for k, v in extra.items():
+            arrays[f"extra.{k}"] = np.asarray(v)
+    np.savez_compressed(path, **arrays)
+
+
+def load_map(path: str) -> tuple[MapState, Dict[str, np.ndarray]]:
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files}
+    fields = {}
+    for name in MapState._fields:
+        fields[name] = jnp.asarray(data[f"map.{name}"])
+    extra = {k[len("extra."):]: v for k, v in data.items()
+             if k.startswith("extra.")}
+    return MapState(**fields), extra
