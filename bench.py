@@ -22,6 +22,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from multi_orbslam3_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from multi_orbslam3_tpu import config as cfg
     from multi_orbslam3_tpu.dataio import synthetic
     from multi_orbslam3_tpu.frontend import extractor
@@ -45,22 +48,16 @@ def main() -> None:
 
     imgs = [jnp.asarray(seq.images[i]) for i in range(seq.images.shape[0])]
 
-    def frame_step(img, T_pred):
-        feats = extractor.extract_features(img, c)
-        res = tracking.track_frame(
-            m, feats, T_pred, K, width=c.camera.width, height=c.camera.height,
-            scale_factor=c.orb.scale_factor, n_levels=c.orb.n_levels)
-        return res
-
     T0 = jnp.eye(4)
-    # warmup / compile
-    jax.block_until_ready(frame_step(imgs[0], T0))
-    jax.block_until_ready(frame_step(imgs[1], T0))
+    # warmup / compile (fused extract+track: one program per frame)
+    jax.block_until_ready(tracking.extract_and_track(m, imgs[0], T0, c))
+    jax.block_until_ready(tracking.extract_and_track(m, imgs[1], T0, c))
 
-    n_iter = 30
+    n_iter = 60
     t0 = time.perf_counter()
     for i in range(n_iter):
-        res = frame_step(imgs[i % len(imgs)], T0)
+        feats, res = tracking.extract_and_track(m, imgs[i % len(imgs)],
+                                                T0, c)
     jax.block_until_ready(res)
     dt = time.perf_counter() - t0
     fps = n_iter / dt

@@ -78,9 +78,8 @@ class MonoInertialSlam(MonoSlam):
         return self.process_frame(img, timestamp)
 
     # ------------------------------------------------------------------
-    def _track(self, feats, ts):
-        prev_center = -self.T_cur[:3, :3].T @ self.T_cur[:3, 3]
-        prev_ts = getattr(self, "_last_ts", None)
+    def _pre_track(self, ts: float) -> None:
+        self._prev_center = -self.T_cur[:3, :3].T @ self.T_cur[:3, 3]
         if self.imu_initialized:
             # IMU prediction replaces the constant-velocity model
             T_wb = np.linalg.inv(self.T_cur)     # T_bc = I assumed here
@@ -97,14 +96,16 @@ class MonoInertialSlam(MonoSlam):
             # feed the motion model with the IMU prediction
             self.T_vel = (T_pred @ np.linalg.inv(self.T_cur)).astype(
                 np.float32)
-        super()._track(feats, ts)
+
+    def _post_track(self, ts: float) -> None:
         # visual velocity correction: IMU-propagated velocity drifts with
         # bias error between keyframes; re-anchor it to the tracked motion
         # (the reference refreshes mVw from UpdateFrameIMU / pose updates)
+        prev_ts = getattr(self, "_last_ts", None)
         if self.imu_initialized and self.state == TrackState.OK \
                 and prev_ts is not None and ts > prev_ts:
             center = -self.T_cur[:3, :3].T @ self.T_cur[:3, 3]
-            v_fd = (center - prev_center) / (ts - prev_ts)
+            v_fd = (center - self._prev_center) / (ts - prev_ts)
             self.v_cur = (0.5 * self.v_cur + 0.5 * v_fd).astype(np.float32)
         self._last_ts = ts
 

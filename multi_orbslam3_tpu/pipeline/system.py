@@ -76,14 +76,28 @@ class MonoSlam:
     # ------------------------------------------------------------------
     def process_frame(self, img: np.ndarray, timestamp: float) -> TrackState:
         self.frame_id += 1
-        feats = extractor.extract_features(jnp.asarray(img, jnp.float32),
-                                           self.cfg)
         if self.state == TrackState.NOT_INITIALIZED:
+            feats = extractor.extract_features(
+                jnp.asarray(img, jnp.float32), self.cfg)
             self._try_initialize(feats, timestamp)
         else:
-            self._track(feats, timestamp)
+            # fused extract+track: one compiled program per frame
+            self._pre_track(timestamp)
+            T_pred = (self.T_vel @ self.T_cur).astype(np.float32)
+            feats, res = tracking.extract_and_track(
+                self.m, jnp.asarray(img, jnp.float32), jnp.asarray(T_pred),
+                self.cfg)
+            self._track_decide(feats, res, T_pred, timestamp)
+            self._post_track(timestamp)
         self.trajectory.append((timestamp, np.asarray(self.T_cur)))
         return self.state
+
+    def _pre_track(self, ts: float) -> None:
+        """Hook: update the motion model before prediction (the inertial
+        subclass injects IMU state propagation here)."""
+
+    def _post_track(self, ts: float) -> None:
+        """Hook: after the tracking decision (velocity re-anchoring)."""
 
     # ------------------------------------------------------------------
     def _try_initialize(self, feats: FrameFeatures, ts: float) -> None:
@@ -150,6 +164,8 @@ class MonoSlam:
                    self.cfg.map.max_mappoints)
 
     def _track(self, feats: FrameFeatures, ts: float) -> None:
+        """Non-fused tracking path (kept for callers that already extracted
+        features)."""
         c = self.cfg
         T_pred = (self.T_vel @ self.T_cur).astype(np.float32)
         res = tracking.track_frame(
@@ -157,6 +173,11 @@ class MonoSlam:
             width=c.camera.width, height=c.camera.height,
             scale_factor=c.orb.scale_factor, n_levels=c.orb.n_levels,
             radius_coarse=c.tracking.search_radius)
+        self._track_decide(feats, res, T_pred, ts)
+
+    def _track_decide(self, feats: FrameFeatures, res, T_pred: np.ndarray,
+                      ts: float) -> None:
+        c = self.cfg
         n_in = int(res.n_inliers)
 
         if n_in < c.tracking.min_matches_localmap:
