@@ -295,6 +295,128 @@ def erase_mappoints(m: MapState, slots: jnp.ndarray) -> MapState:
     return m._replace(mp_valid=mp_valid, kf_mp=kf_mp)
 
 
+@jax.jit
+def update_found_visible(m: MapState, feat_mp: jnp.ndarray,
+                         visible: jnp.ndarray) -> MapState:
+    """Per-frame landmark statistics (reference MapPoint::IncreaseFound /
+    IncreaseVisible, src/MapPoint.cc — the found/visible ratio feeds
+    MapPointCulling). feat_mp: (N,) inlier landmark slot per frame feature
+    (-1 none); visible: (P,) bool mask of landmarks that projected into the
+    frame's frustum this frame."""
+    ok = feat_mp >= 0
+    safe = jnp.where(ok, feat_mp, 0)
+    found = m.mp_found.at[safe].add(ok.astype(jnp.int32))
+    vis = m.mp_visible + (visible & m.mp_valid).astype(jnp.int32)
+    return m._replace(mp_found=found, mp_visible=vis)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_obs", "scale_factor", "n_levels"))
+def refresh_point_stats(m: MapState, kf_slots: jnp.ndarray,
+                        slot_ok: jnp.ndarray, *, max_obs: int = 8,
+                        scale_factor: float = 1.2,
+                        n_levels: int = 8) -> MapState:
+    """Recompute representative descriptor, mean viewing normal and
+    scale-invariance depth range for every landmark observed by the given
+    keyframes (reference MapPoint::ComputeDistinctiveDescriptors — min
+    median Hamming over all observations, src/MapPoint.cc:448-523 — and
+    UpdateNormalAndDepth, :545-662).
+
+    kf_slots: (Kw,) keyframe slots whose observations to aggregate (the
+    local-mapping window); slot_ok: (Kw,) validity mask. Up to `max_obs`
+    observations per landmark participate in the descriptor vote.
+    """
+    Kw = kf_slots.shape[0]
+    N = m.n_feat
+    P = m.max_mp
+    F = Kw * N
+
+    flat_mp = jnp.where(slot_ok[:, None], m.kf_mp[kf_slots], NO_MP)
+    flat_mp = jnp.where(m.kf_feat_valid[kf_slots], flat_mp, NO_MP).reshape(-1)
+    flat_kf = jnp.repeat(kf_slots, N)
+    flat_desc = m.kf_desc[kf_slots].reshape(F, 8)
+    flat_level = m.kf_level[kf_slots].reshape(F)
+
+    # viewing directions: landmark - camera center of the observing KF
+    R = m.kf_pose[kf_slots, :3, :3]                     # (Kw, 3, 3)
+    t = m.kf_pose[kf_slots, :3, 3]
+    centers = -jnp.einsum("kji,kj->ki", R, t)           # (Kw, 3)
+    flat_center = jnp.repeat(centers, N, axis=0)        # (F, 3)
+    mp_safe = jnp.where(flat_mp >= 0, flat_mp, 0)
+    view = m.mp_pos[mp_safe] - flat_center
+    dist = jnp.linalg.norm(view, axis=-1) + 1e-8
+    nrm = view / dist[:, None]
+
+    valid = flat_mp >= 0
+    key = jnp.where(valid, flat_mp, P)
+
+    # --- normals: masked segment mean over ALL window observations ---
+    w = valid.astype(jnp.float32)
+    nsum = jnp.zeros((P + 1, 3), jnp.float32).at[key].add(nrm * w[:, None])
+    cnt = jnp.zeros((P + 1,), jnp.float32).at[key].add(w)
+    touched = cnt[:P] > 0
+    new_normal = nsum[:P] / jnp.maximum(cnt[:P, None], 1.0)
+    new_normal = new_normal / (
+        jnp.linalg.norm(new_normal, axis=-1, keepdims=True) + 1e-8)
+
+    # --- depth range: reference uses the reference-KF observation only ---
+    is_ref = valid & (flat_kf == m.mp_ref_kf[mp_safe])
+    ref_key = jnp.where(is_ref, flat_mp, P)
+    ref_dist = jnp.zeros((P + 1,), jnp.float32).at[ref_key].max(
+        jnp.where(is_ref, dist, 0.0))
+    ref_level = jnp.zeros((P + 1,), jnp.int32).at[ref_key].max(
+        jnp.where(is_ref, flat_level, 0))
+    has_ref = ref_dist[:P] > 0
+    level_sf = jnp.power(jnp.float32(scale_factor),
+                         ref_level[:P].astype(jnp.float32))
+    max_d = ref_dist[:P] * level_sf
+    min_d = max_d / jnp.float32(scale_factor ** (n_levels - 1))
+
+    # --- representative descriptor: min-median Hamming over <= max_obs ---
+    # rank of each observation within its landmark's group (sort by slot)
+    order = jnp.argsort(key)
+    skey = key[order]
+    pos = jnp.arange(F, dtype=jnp.int32)
+    group_start = jnp.where(
+        skey != jnp.concatenate([jnp.full((1,), -2, skey.dtype), skey[:-1]]),
+        pos, 0)
+    group_start = jax.lax.cummax(group_start)
+    rank = pos - group_start
+    # observation table: (P+1, max_obs) -> flat obs index (F = absent)
+    in_tab = (skey < P) & (rank < max_obs)
+    tab = jnp.full((P + 1, max_obs), F, jnp.int32).at[
+        jnp.where(in_tab, skey, P),
+        jnp.where(in_tab, rank, 0)].set(
+        jnp.where(in_tab, order[pos], F))[:P]
+    tab_ok = tab < F
+    desc_ext = jnp.concatenate(
+        [flat_desc, jnp.zeros((1, 8), jnp.uint32)], axis=0)
+    D = desc_ext[jnp.where(tab_ok, tab, F)]             # (P, O, 8)
+    x = jnp.bitwise_xor(D[:, :, None, :], D[:, None, :, :])
+    ham = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    BIGD = jnp.int32(1 << 20)
+    pair_ok = tab_ok[:, :, None] & tab_ok[:, None, :]
+    ham = jnp.where(pair_ok, ham, BIGD)
+    ham_sorted = jnp.sort(ham, axis=-1)                 # (P, O, O)
+    n_obs = jnp.sum(tab_ok, axis=-1)                    # (P,)
+    med_idx = jnp.maximum(n_obs - 1, 0) // 2            # reference: 0.5*(n-1)
+    med = jnp.take_along_axis(
+        ham_sorted, med_idx[:, None, None].repeat(max_obs, axis=1), axis=-1
+    )[..., 0]                                           # (P, O)
+    med = jnp.where(tab_ok, med, BIGD)
+    best_obs = jnp.argmin(med, axis=-1)                 # (P,)
+    best_desc = jnp.take_along_axis(
+        D, best_obs[:, None, None].repeat(8, axis=-1), axis=1)[:, 0]
+
+    upd_desc = touched & (n_obs > 0)
+    return m._replace(
+        mp_desc=jnp.where(upd_desc[:, None], best_desc, m.mp_desc),
+        mp_normal=jnp.where(touched[:, None], new_normal, m.mp_normal),
+        mp_min_dist=jnp.where(touched & has_ref, min_d, m.mp_min_dist),
+        mp_max_dist=jnp.where(touched & has_ref, max_d, m.mp_max_dist),
+    )
+
+
 @functools.partial(jax.jit, donate_argnums=0)
 def replace_mappoint(m: MapState, old: jnp.ndarray, new: jnp.ndarray) -> MapState:
     """Fuse duplicates: all references to `old` become `new` (reference

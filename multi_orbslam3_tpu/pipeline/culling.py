@@ -40,13 +40,18 @@ def redundant_keyframes(m: MapState, protect: jnp.ndarray,
 @jax.jit
 def orphan_mappoints(m: MapState, min_obs: int = 2,
                      age_kf: int = 3) -> jnp.ndarray:
-    """(P,) bool mask of landmarks that failed to gain observations: older
-    than `age_kf` keyframes but observed by fewer than `min_obs`
-    (reference MapPointCulling's observation test)."""
+    """(P,) bool mask of landmarks that failed to gain observations — older
+    than `age_kf` keyframes but observed by fewer than `min_obs` — or whose
+    found/visible ratio fell below 0.25 (both tests from the reference's
+    MapPointCulling, src/LocalMapping.cc:447-519)."""
     obs = ms.kf_mp_mask(m)
     counts = jnp.sum(obs.astype(jnp.int32), axis=0)
     old_enough = m.mp_ref_kf <= (m.n_kf - age_kf)
-    return m.mp_valid & old_enough & (counts < min_obs)
+    under_observed = old_enough & (counts < min_obs)
+    bad_ratio = (m.mp_visible >= 8) & \
+        (m.mp_found.astype(jnp.float32) <
+         0.25 * m.mp_visible.astype(jnp.float32))
+    return m.mp_valid & (under_observed | bad_ratio)
 
 
 def cull(m: MapState, protect_kf: jnp.ndarray,

@@ -74,6 +74,81 @@ def triangulate_with_neighbor(m: MapState, kf_new, kf_nbr,
     return TriangulationOut(map=m2, n_created=jnp.sum(ok.astype(jnp.int32)))
 
 
+class FuseOut(NamedTuple):
+    map: MapState
+    n_fused: jnp.ndarray     # duplicate landmarks merged
+    n_attached: jnp.ndarray  # new associations written
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "scale_factor",
+                                    "n_levels"))
+def fuse_into_keyframe(m: MapState, kf, K: cam.PinholeK, *,
+                       width: int, height: int, scale_factor: float = 1.2,
+                       n_levels: int = 8, radius: float = 3.0,
+                       max_dist: int = matcher.TH_LOW) -> FuseOut:
+    """Project map landmarks into keyframe `kf` and reconcile with its
+    features (reference LocalMapping::SearchInNeighbors ->
+    ORBmatcher::Fuse, src/LocalMapping.cc:868, src/ORBmatcher.cc:1395):
+
+    - feature already bound to a DIFFERENT landmark -> merge duplicates,
+      keeping the landmark with more observations (MapPoint::Replace);
+    - unbound feature -> attach the projected landmark.
+    """
+    T = m.kf_pose[kf]
+    p_c = se3.apply(T[None], m.mp_pos)
+    uv_proj = cam.project(K, p_c)
+    cam_center = -jnp.einsum("ji,j->i", T[:3, :3], T[:3, 3])
+    dist = jnp.linalg.norm(m.mp_pos - cam_center[None, :], axis=-1)
+    # scale-invariance distance gate (Fuse checks dist within [min, max])
+    d_ok = (dist >= 0.8 * m.mp_min_dist) & (dist <= 1.2 * m.mp_max_dist)
+    # viewing angle gate: cos(normal, view) > 0.5 (Fuse's 60 degree test)
+    view = (m.mp_pos - cam_center[None, :]) / jnp.maximum(dist, 1e-8)[:, None]
+    angle_ok = jnp.sum(view * m.mp_normal, axis=-1) > 0.5
+    proj_valid = (m.mp_valid & (p_c[..., 2] > 0.05) & d_ok & angle_ok
+                  & cam.in_image(uv_proj, width, height))
+    ratio = jnp.maximum(m.mp_max_dist, 1e-6) / jnp.maximum(dist, 1e-6)
+    pred_lv = jnp.clip((jnp.log(jnp.maximum(ratio, 1e-6))
+                        / jnp.log(scale_factor)).astype(jnp.int32),
+                       0, n_levels - 1)
+    r = radius * jnp.power(jnp.float32(scale_factor),
+                           pred_lv.astype(jnp.float32))
+    res = matcher.match_by_projection(
+        uv_proj, proj_valid, m.mp_desc, m.kf_uv[kf], m.kf_feat_valid[kf],
+        m.kf_desc[kf], m.kf_level[kf], r, pred_lv,
+        max_dist=max_dist, ratio=1.0, level_slack=1)
+    res = matcher.resolve_duplicate_targets(res, m.n_feat)
+
+    # invert: per-feature candidate landmark
+    P = m.max_mp
+    tgt = jnp.where(res.idx >= 0, res.idx, m.n_feat)
+    cand_ext = jnp.full((m.n_feat + 1,), NO_MP, jnp.int32).at[tgt].set(
+        jnp.where(res.idx >= 0, jnp.arange(P, dtype=jnp.int32), NO_MP))
+    cand = cand_ext[:m.n_feat]                           # (N,)
+    existing = m.kf_mp[kf]                               # (N,)
+
+    # observation counts decide the survivor on duplicate merges
+    flat = m.kf_mp.reshape(-1)
+    obs_w = ((flat >= 0) & m.kf_feat_valid.reshape(-1)
+             & jnp.repeat(m.kf_valid, m.n_feat)).astype(jnp.int32)
+    counts = jnp.zeros((P + 1,), jnp.int32).at[
+        jnp.where(flat >= 0, flat, P)].add(obs_w)[:P]
+
+    dup = (cand >= 0) & (existing >= 0) & (cand != existing)
+    cand_safe = jnp.where(cand >= 0, cand, 0)
+    exist_safe = jnp.where(existing >= 0, existing, 0)
+    keep_cand = counts[cand_safe] >= counts[exist_safe]
+    old = jnp.where(dup, jnp.where(keep_cand, exist_safe, cand_safe), -1)
+    new = jnp.where(dup, jnp.where(keep_cand, cand_safe, exist_safe), -1)
+    m = ms.replace_mappoint(m, old, new)
+
+    attach = (cand >= 0) & (m.kf_mp[kf] == NO_MP)
+    kf_row = jnp.where(attach, cand, m.kf_mp[kf])
+    m = m._replace(kf_mp=m.kf_mp.at[kf].set(kf_row))
+    return FuseOut(map=m, n_fused=jnp.sum(dup.astype(jnp.int32)),
+                   n_attached=jnp.sum(attach.astype(jnp.int32)))
+
+
 class LocalBAOut(NamedTuple):
     map: MapState
     chi2: jnp.ndarray

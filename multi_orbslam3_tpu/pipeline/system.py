@@ -205,6 +205,8 @@ class MonoSlam:
             self.lost_count = 0
             self.frames_since_kf += 1
             self.stats["frames_tracked"] += 1
+            # landmark statistics (MapPoint::IncreaseFound/IncreaseVisible)
+            self.m = ms.update_found_visible(self.m, res.feat_mp, res.visible)
             if self._need_keyframe(n_in):
                 self._insert_keyframe(feats, res.feat_mp, ts)
         else:
@@ -276,6 +278,15 @@ class MonoSlam:
                 self.m, jnp.int32(k), jnp.int32(int(nbr)), self.K)
             self.m = tri.map
             self.stats["mp_created"] += int(tri.n_created)
+        # duplicate-landmark fusion (SearchInNeighbors -> ORBmatcher::Fuse)
+        fuse = local_mapping.fuse_into_keyframe(
+            self.m, jnp.int32(k), self.K,
+            width=self.cfg.camera.width, height=self.cfg.camera.height,
+            scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels)
+        self.m = fuse.map
+        self.stats["mp_fused"] = self.stats.get("mp_fused", 0) + \
+            int(fuse.n_fused)
         lm = self.cfg.local_mapping
         n_window = min(lm.local_ba_kfs, self.cfg.map.max_keyframes // 2)
         n_fixed = min(lm.local_ba_fixed_kfs,
@@ -287,6 +298,14 @@ class MonoSlam:
             iters=lm.local_ba_iters,
             covis_threshold=self.cfg.map.covis_threshold)
         self.m = out.map
+        # refresh landmark descriptors / normals / depth ranges over the
+        # window (MapPoint::ComputeDistinctiveDescriptors + UpdateNormalAndDepth)
+        win = np.concatenate([[k], order]).astype(np.int32)
+        win_ok = np.concatenate([[True], covis_np[order] > 0])
+        self.m = ms.refresh_point_stats(
+            self.m, jnp.asarray(win), jnp.asarray(win_ok),
+            scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels)
         if self.loop_closer is not None:
             self.m = self.loop_closer.on_keyframe(self.m, k)
         self.T_cur = np.asarray(self.m.kf_pose[k])

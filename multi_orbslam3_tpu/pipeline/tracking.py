@@ -36,6 +36,8 @@ class TrackResult(NamedTuple):
     feat_mp: jnp.ndarray    # (N,) int32 landmark slot per feature (NO_MP none)
     n_inliers: jnp.ndarray  # () int32
     n_matches: jnp.ndarray  # () int32 pre-optimization matches
+    visible: jnp.ndarray    # (P,) bool landmarks in this frame's frustum
+                            # (feeds MapPoint::IncreaseVisible statistics)
 
 
 def level_inv_sigma2(level: jnp.ndarray, scale_factor: float) -> jnp.ndarray:
@@ -81,7 +83,7 @@ def _match_and_invert(m: MapState, T: jnp.ndarray, feats: FrameFeatures,
     feat_mp_ext = jnp.full((n_feat + 1,), NO_MP, jnp.int32).at[tgt].set(
         jnp.where(res.idx >= 0,
                   jnp.arange(m.mp_pos.shape[0], dtype=jnp.int32), NO_MP))
-    return feat_mp_ext[:n_feat]
+    return feat_mp_ext[:n_feat], proj_valid
 
 
 def _pose_from_assoc(m: MapState, feats: FrameFeatures, feat_mp: jnp.ndarray,
@@ -117,22 +119,22 @@ def track_frame(m: MapState, feats: FrameFeatures, T_pred: jnp.ndarray,
     the same inlier set and halves the sequential-iteration latency that
     dominates the TPU step.
     """
-    feat_mp = _match_and_invert(m, T_pred, feats, K, radius_coarse,
-                                width, height, scale_factor, n_levels,
-                                level_slack=2)
+    feat_mp, _ = _match_and_invert(m, T_pred, feats, K, radius_coarse,
+                                   width, height, scale_factor, n_levels,
+                                   level_slack=2)
     n_matches = jnp.sum((feat_mp >= 0).astype(jnp.int32))
     T1, feat_mp1, n1 = _pose_from_assoc(m, feats, feat_mp, T_pred, K,
                                         scale_factor, opt_rounds, opt_iters)
     # round 2: tighter radius around the refined pose picks up more points
-    feat_mp2 = _match_and_invert(m, T1, feats, K, radius_fine,
-                                 width, height, scale_factor, n_levels,
-                                 level_slack=1)
+    feat_mp2, visible = _match_and_invert(m, T1, feats, K, radius_fine,
+                                          width, height, scale_factor,
+                                          n_levels, level_slack=1)
     # keep round-1 inlier associations where round 2 found nothing
     feat_mp2 = jnp.where(feat_mp2 >= 0, feat_mp2, feat_mp1)
     T2, feat_mp_f, n2 = _pose_from_assoc(m, feats, feat_mp2, T1, K,
                                          scale_factor, opt_rounds, opt_iters)
     return TrackResult(pose=T2, feat_mp=feat_mp_f, n_inliers=n2,
-                       n_matches=n_matches)
+                       n_matches=n_matches, visible=visible)
 
 
 @functools.lru_cache(maxsize=8)
@@ -183,5 +185,8 @@ def track_reference_kf(m: MapState, ref_kf: jnp.ndarray, feats: FrameFeatures,
     n_matches = jnp.sum((feat_mp >= 0).astype(jnp.int32))
     T, feat_mp_in, n_in = _pose_from_assoc(m, feats, feat_mp, T_init, K,
                                            scale_factor)
+    # visible = the landmarks this KF already associates (conservative)
+    visible = jnp.zeros(m.mp_pos.shape[0], bool).at[
+        jnp.where(kf_mp_row >= 0, kf_mp_row, 0)].max(kf_mp_row >= 0)
     return TrackResult(pose=T, feat_mp=feat_mp_in, n_inliers=n_in,
-                       n_matches=n_matches)
+                       n_matches=n_matches, visible=visible)
