@@ -26,11 +26,18 @@ from multi_orbslam3_tpu.pipeline.system import MonoSlam
 
 class CollabClient:
     def __init__(self, config: SystemConfig, agent_id: int,
-                 transport: Transport):
+                 transport: Transport, inertial: bool = False):
         self.cfg = config
         self.agent = agent_id
         self.transport = transport
-        self.slam = MonoSlam(config, agent_id, enable_loop_closing=False)
+        self.inertial = inertial
+        if inertial:
+            from multi_orbslam3_tpu.pipeline.inertial_system import \
+                MonoInertialSlam
+            self.slam = MonoInertialSlam(config, agent_id,
+                                         enable_loop_closing=False)
+        else:
+            self.slam = MonoSlam(config, agent_id, enable_loop_closing=False)
         self._sent_kf = 0               # slots < _sent_kf were sent in full
         self._sent_mp = 0
         self._sent_kf_pose = np.zeros((config.map.max_keyframes, 4, 4),
@@ -45,6 +52,11 @@ class CollabClient:
         state = self.slam.process_frame(img, timestamp)
         return state
 
+    def process_frame_imu(self, img: np.ndarray, timestamp: float,
+                          acc: np.ndarray, gyro: np.ndarray,
+                          dt: np.ndarray):
+        return self.slam.process_frame_imu(img, timestamp, acc, gyro, dt)
+
     # ------------------------------------------------------------------
     def comm_cycle(self) -> None:
         """One communication cycle: ingest corrections, publish deltas
@@ -57,8 +69,24 @@ class CollabClient:
 
     # ------------------------------------------------------------------
     def _build_delta(self) -> Optional[protocol.MapDelta]:
+        # inertial clients publish nothing until visual-inertial init
+        # stage 1 passed (the reference's GetInertialBA1 uplink gate,
+        # Atlas.cc:134,155)
+        if self.inertial and not getattr(self.slam, "inertial_ready", False):
+            return None
         m = self.slam.m
         comm = self.cfg.comm
+        # IMU-init gauge handoff (mScale/mRgw, Map.cc:497-503): the server
+        # transforms its copy of our map; refresh the sent-pose mirrors so
+        # the re-gauge itself emits no per-entity updates
+        gauge = getattr(self.slam, "pending_gauge", None)
+        scale, R_gw = (1.0, None) if gauge is None else gauge
+        if gauge is not None:
+            self.slam.pending_gauge = None
+            self._sent_kf_pose[:self._sent_kf] = \
+                np.array(m.kf_pose[:self._sent_kf])
+            self._sent_mp_pos[:self._sent_mp] = \
+                np.array(m.mp_pos[:self._sent_mp])
         n_kf = int(m.n_kf)
         n_mp = int(m.n_mp)
         new_kf_hi = min(n_kf, self._sent_kf + comm.client_kf_bound)
@@ -141,13 +169,14 @@ class CollabClient:
         self._sent_kf = new_kf_hi
         self._sent_mp = new_mp_hi
         if kfs is None and mps is None and kf_updates is None \
-                and mp_updates is None:
+                and mp_updates is None and gauge is None:
             return None
         self._seq += 1
         return protocol.MapDelta(
             agent=self.agent, seq=self._seq, kfs=kfs, kf_updates=kf_updates,
             mps=mps, mp_updates=mp_updates,
-            closest_kf=self.slam.ref_kf)
+            closest_kf=self.slam.ref_kf, scale=scale, R_gw=R_gw,
+            inertial=self.inertial)
 
     # ------------------------------------------------------------------
     def _ingest_corrections(self) -> None:

@@ -91,11 +91,13 @@ class MapDelta:
     # IMU-init gauge handoff (mScale/mRgw analog, Map.cc:497-503)
     scale: float = 1.0
     R_gw: Optional[np.ndarray] = None           # (3, 3)
+    inertial: bool = False                      # sender runs VI odometry
 
     def to_bytes(self) -> bytes:
         arrays: Dict[str, np.ndarray] = {}
         meta = {"agent": self.agent, "seq": self.seq,
-                "closest_kf": self.closest_kf, "scale": self.scale}
+                "closest_kf": self.closest_kf, "scale": self.scale,
+                "inertial": self.inertial}
         for name in ("kfs", "kf_updates", "mps", "mp_updates"):
             obj = getattr(self, name)
             if obj is None:
@@ -138,6 +140,7 @@ class MapDelta:
 
         return cls(agent=meta["agent"], seq=meta["seq"],
                    closest_kf=meta["closest_kf"], scale=meta["scale"],
+                   inertial=meta.get("inertial", False),
                    kfs=build("kfs", KFPayload),
                    kf_updates=build("kf_updates", KFUpdatePayload),
                    mps=build("mps", MPPayload),

@@ -52,6 +52,7 @@ class AgentBook:
     kf_l2s: Dict[int, int] = dataclasses.field(default_factory=dict)
     mp_l2s: Dict[int, int] = dataclasses.field(default_factory=dict)
     map_id: int = -1
+    inertial: bool = False
     last_kf_slot: int = -1
     closest_kf: int = -1
     streak_cand: int = -1
@@ -121,6 +122,12 @@ class CollabServer:
         book = self.agents[agent]
         if delta.closest_kf >= 0:
             book.closest_kf = delta.closest_kf
+        book.inertial = book.inertial or delta.inertial
+        # IMU-init gauge handoff BEFORE ingesting payloads whose poses are
+        # already post-gauge (reference Communicator::RunServer applies
+        # ApplyScaledRotation first, Communicator.cc:240-252)
+        if delta.R_gw is not None or abs(delta.scale - 1.0) > 1e-9:
+            self._apply_agent_gauge(agent, delta.scale, delta.R_gw)
         n_kf = n_mp = 0
         if delta.kfs is not None:
             n_kf = self._ingest_kfs(agent, delta.kfs)
@@ -271,6 +278,31 @@ class CollabServer:
                 jnp.asarray(ids, jnp.int32)].set(
                 jnp.asarray(np.stack(poss))))
 
+    def _apply_agent_gauge(self, agent: int, scale: float,
+                           R_gw: Optional[np.ndarray]) -> None:
+        """Re-gauge the server copy of one client's sub-map after its IMU
+        initialization (Map::ApplyScaledRotation analog, Map.cc:438-496):
+        X_new = scale * R_gw^T X for landmarks, with the matching
+        keyframe-pose similarity update."""
+        book = self.agents[agent]
+        if book.map_id < 0:
+            return
+        R = np.eye(3, dtype=np.float32) if R_gw is None else \
+            np.asarray(R_gw, np.float32)
+        S = sim3.Sim3(R=jnp.asarray(R.T), t=jnp.zeros(3),
+                      s=jnp.float32(scale))
+        move_kf = jnp.asarray(self.kf_map == book.map_id)
+        move_mp = jnp.asarray(self.mp_map == book.map_id)
+        m = self.m
+        new_pos = sim3.apply(S, m.mp_pos)
+        mp_pos = jnp.where(move_mp[:, None], new_pos, m.mp_pos)
+        S_cw = sim3.from_se3(m.kf_pose)
+        S_new = sim3.compose(S_cw, sim3.inverse(S))
+        T_new = se3.make(S_new.R, S_new.t / S_new.s[..., None])
+        kf_pose = jnp.where(move_kf[:, None, None], T_new, m.kf_pose)
+        self.m = m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+        self.stats["gauge_applied"] = self.stats.get("gauge_applied", 0) + 1
+
     def _resolve_pending_assoc(self) -> None:
         still = []
         updates_kf, updates_f, updates_mp = [], [], []
@@ -313,9 +345,18 @@ class CollabServer:
                 book.streak = 0
                 book.streak_cand = -1
                 continue
-            if book.streak_cand >= 0 and (
-                    best == book.streak_cand or
-                    int(covis[book.streak_cand]) > 0):
+            # temporal consistency on the CANDIDATE side (the reference's
+            # consecutive covisibility-group test, LoopClosing::
+            # NewDetectCommonRegions): the new best candidate must equal or
+            # be covisible with the previous cycle's candidate — both live
+            # in the candidate's sub-map, so covisibility is defined even
+            # before any cross-agent merge.
+            if book.streak_cand >= 0 and best != book.streak_cand:
+                cand_covis = ms.covisibility_row(self.m, jnp.int32(best))
+                consistent = int(cand_covis[book.streak_cand]) > 0
+            else:
+                consistent = book.streak_cand >= 0
+            if consistent:
                 book.streak += 1
             else:
                 book.streak = 1
@@ -329,13 +370,31 @@ class CollabServer:
             res = loop_closing.verify_loop(self.m, lm, sub)
             if not bool(res.ok):
                 continue
+            S_corr = res.S
+            cand_agent = int(self.m.kf_agent[best])
+            either_inertial = book.inertial or \
+                self.agents.get(cand_agent, AgentBook()).inertial
+            if either_inertial:
+                # inertial merge gate (LoopClosing::Run, LoopClosing.cc:
+                # 95-118): both maps are metric and gravity-aligned, so
+                # the correction must be near scale 1 and yaw-only
+                s_est = float(S_corr.s)
+                if not (0.9 < s_est < 1.1):
+                    continue
+                R = np.asarray(S_corr.R)
+                yaw = np.arctan2(R[1, 0], R[0, 0])
+                Rz = np.array([[np.cos(yaw), -np.sin(yaw), 0.0],
+                               [np.sin(yaw), np.cos(yaw), 0.0],
+                               [0.0, 0.0, 1.0]], np.float32)
+                S_corr = sim3.Sim3(R=jnp.asarray(Rz), t=S_corr.t,
+                                   s=jnp.float32(1.0))
             same_map = self.kf_map[best] == self.kf_map[kf_slot]
             if same_map:
                 self.m = loop_closing.correct_loop(
-                    self.m, jnp.int32(kf_slot), jnp.int32(best), res.S)
+                    self.m, jnp.int32(kf_slot), jnp.int32(best), S_corr)
                 self.stats["loops"] += 1
             else:
-                self._merge_maps(kf_slot, best, res.S)
+                self._merge_maps(kf_slot, best, S_corr)
                 self.stats["merges"] += 1
             cur = jnp.where(lm.valid & res.inliers, lm.cur_mp, -1)
             cand = jnp.where(lm.valid & res.inliers, lm.cand_mp, -1)

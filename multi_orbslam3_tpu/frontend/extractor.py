@@ -19,7 +19,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from multi_orbslam3_tpu.frontend import fast, orb, pyramid
+from multi_orbslam3_tpu.frontend import fast, orb, pallas_kernels, pyramid
 from multi_orbslam3_tpu.geometry import camera as cam
 
 EDGE_MARGIN = 19  # reference EDGE_THRESHOLD: keep patches inside the image
@@ -95,7 +95,7 @@ def _select_level_keypoints(score: jnp.ndarray, n_out: int, cell: int,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "n_features", "n_levels",
-                     "scale_factor", "cell_size"))
+                     "scale_factor", "cell_size", "fast_hi", "fast_lo"))
 def _extract_impl(img: jnp.ndarray, fx, fy, cx_, cy_, dist,
                   *, height: int, width: int, n_features: int,
                   n_levels: int, scale_factor: float, cell_size: int,
@@ -109,8 +109,12 @@ def _extract_impl(img: jnp.ndarray, fx, fy, cx_, cy_, dist,
         n_lv = counts[lv]
         if n_lv == 0:
             continue
-        s = fast.fast_score(im, fast_lo)
-        s = fast.nms3x3(s)
+        if pallas_kernels.use_pallas():
+            # fused Pallas kernel: one VMEM pass instead of 16 shifted
+            # HBM copies (exact match to the jnp formulation)
+            s = pallas_kernels.fast_score_nms(im, fast_lo)
+        else:
+            s = fast.nms3x3(fast.fast_score(im, fast_lo))
         h, w = im.shape
         ys = jnp.arange(h)[:, None]
         xs = jnp.arange(w)[None, :]

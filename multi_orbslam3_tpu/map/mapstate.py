@@ -38,6 +38,7 @@ class MapState(NamedTuple):
     # --- keyframes ---
     kf_pose: jnp.ndarray         # (K, 4, 4) T_cw
     kf_valid: jnp.ndarray        # (K,) bool
+    kf_map_id: jnp.ndarray       # (K,) int32 sub-map id (client Atlas)
     kf_timestamp: jnp.ndarray    # (K,) float32
     kf_agent: jnp.ndarray        # (K,) int32 owning agent
     kf_parent: jnp.ndarray       # (K,) int32 spanning-tree parent (-1 root)
@@ -51,6 +52,7 @@ class MapState(NamedTuple):
     # --- map points ---
     mp_pos: jnp.ndarray          # (P, 3)
     mp_valid: jnp.ndarray        # (P,) bool
+    mp_map_id: jnp.ndarray       # (P,) int32 sub-map id
     mp_agent: jnp.ndarray        # (P,) int32
     mp_desc: jnp.ndarray         # (P, 8) uint32 representative descriptor
     mp_normal: jnp.ndarray       # (P, 3) mean viewing direction
@@ -62,6 +64,7 @@ class MapState(NamedTuple):
     # --- counters ---
     n_kf: jnp.ndarray            # () int32 next free KF slot
     n_mp: jnp.ndarray           # () int32 next free MP slot
+    active_map: jnp.ndarray      # () int32 current sub-map (Atlas active)
 
     @property
     def max_kf(self) -> int:
@@ -81,6 +84,7 @@ def empty_map(max_kf: int, max_mp: int, n_feat: int) -> MapState:
     return MapState(
         kf_pose=jnp.tile(jnp.eye(4, dtype=f32), (max_kf, 1, 1)),
         kf_valid=jnp.zeros(max_kf, bool),
+        kf_map_id=jnp.zeros(max_kf, i32),
         kf_timestamp=jnp.zeros(max_kf, f32),
         kf_agent=jnp.zeros(max_kf, i32),
         kf_parent=jnp.full((max_kf,), -1, i32),
@@ -93,6 +97,7 @@ def empty_map(max_kf: int, max_mp: int, n_feat: int) -> MapState:
         kf_mp=jnp.full((max_kf, n_feat), NO_MP, i32),
         mp_pos=jnp.zeros((max_mp, 3), f32),
         mp_valid=jnp.zeros(max_mp, bool),
+        mp_map_id=jnp.zeros(max_mp, i32),
         mp_agent=jnp.zeros(max_mp, i32),
         mp_desc=jnp.zeros((max_mp, 8), jnp.uint32),
         mp_normal=jnp.zeros((max_mp, 3), f32),
@@ -103,6 +108,7 @@ def empty_map(max_kf: int, max_mp: int, n_feat: int) -> MapState:
         mp_visible=jnp.zeros(max_mp, i32),
         n_kf=jnp.int32(0),
         n_mp=jnp.int32(0),
+        active_map=jnp.int32(0),
     )
 
 
@@ -124,6 +130,8 @@ def add_keyframe(m: MapState, feats: FrameFeatures, pose: jnp.ndarray,
     m = m._replace(
         kf_pose=m.kf_pose.at[k_safe].set(sel(pose, m.kf_pose[k_safe])),
         kf_valid=m.kf_valid.at[k_safe].set(sel(True, m.kf_valid[k_safe])),
+        kf_map_id=m.kf_map_id.at[k_safe].set(
+            sel(m.active_map, m.kf_map_id[k_safe])),
         kf_timestamp=m.kf_timestamp.at[k_safe].set(
             sel(jnp.float32(timestamp), m.kf_timestamp[k_safe])),
         kf_agent=m.kf_agent.at[k_safe].set(
@@ -177,6 +185,7 @@ def add_mappoints(m: MapState, pos: jnp.ndarray, ok: jnp.ndarray,
     m = m._replace(
         mp_pos=upd(m.mp_pos, pos),
         mp_valid=upd(m.mp_valid, jnp.ones(B, bool)),
+        mp_map_id=upd(m.mp_map_id, jnp.full((B,), 1, jnp.int32) * m.active_map),
         mp_agent=upd(m.mp_agent, jnp.full((B,), agent, jnp.int32)),
         mp_desc=upd(m.mp_desc, desc),
         mp_normal=upd(m.mp_normal, normal),
@@ -224,6 +233,7 @@ def add_mappoints_raw(m: MapState, pos: jnp.ndarray, ok: jnp.ndarray,
     m = m._replace(
         mp_pos=upd(m.mp_pos, pos),
         mp_valid=upd(m.mp_valid, jnp.ones(B, bool)),
+        mp_map_id=upd(m.mp_map_id, jnp.full((B,), 1, jnp.int32) * m.active_map),
         mp_agent=upd(m.mp_agent, jnp.full((B,), agent, jnp.int32)),
         mp_desc=upd(m.mp_desc, desc),
         mp_normal=upd(m.mp_normal, view / dist[:, None]),
@@ -434,3 +444,62 @@ def replace_mappoint(m: MapState, old: jnp.ndarray, new: jnp.ndarray) -> MapStat
     found = m.mp_found.at[jnp.where(ok, new, 0)].add(
         jnp.where(ok, m.mp_found[jnp.where(ok, old, 0)], 0))
     return m._replace(kf_mp=kf_mp, mp_valid=mp_valid, mp_found=found)
+
+
+# ----------------------------------------------------------------------
+# Client-side Atlas (multi sub-map) operations. Replaces the reference's
+# Atlas multi-map container (src/Atlas.cc: CreateNewMap :43, ChangeMap
+# :92) and Tracking::CreateMapInAtlas (src/Tracking.cc:2400): sub-maps
+# share the one arena and are separated by kf_map_id/mp_map_id; the
+# active map gates tracking and mapping.
+# ----------------------------------------------------------------------
+
+@jax.jit
+def switch_map(m: MapState, map_id) -> MapState:
+    """Change the active sub-map (Atlas::ChangeMap analog)."""
+    return m._replace(active_map=jnp.int32(map_id))
+
+
+@jax.jit
+def erase_active_map(m: MapState) -> MapState:
+    """Tombstone every entity of the active sub-map (the reference's
+    Tracking::ResetActiveMap, src/Tracking.cc:3588 — used when tracking
+    is lost before the map matured)."""
+    kf_gone = m.kf_valid & (m.kf_map_id == m.active_map)
+    mp_gone = m.mp_valid & (m.mp_map_id == m.active_map)
+    kf_mp = jnp.where(kf_gone[:, None], NO_MP, m.kf_mp)
+    # also detach surviving KFs' references to erased landmarks
+    point = jnp.where(kf_mp >= 0, kf_mp, 0)
+    kf_mp = jnp.where((kf_mp >= 0) & mp_gone[point], NO_MP, kf_mp)
+    return m._replace(
+        kf_valid=m.kf_valid & ~kf_gone,
+        mp_valid=m.mp_valid & ~mp_gone,
+        kf_mp=kf_mp)
+
+
+@jax.jit
+def merge_active_into(m: MapState, target_map, S_loop) -> MapState:
+    """Weld the active sub-map into `target_map` (the client-side Atlas
+    merge; the reference's LoopClosing::MergeLocal moves all KFs/MPs of
+    the current map into the merge map, src/LoopClosing.cc:1316).
+
+    S_loop: sim3.Sim3 with p_cur ~ S_loop(p_target) — moved entities are
+    pulled through S_loop^-1 into the target frame, ids are relabeled and
+    the target becomes active.
+    """
+    from multi_orbslam3_tpu.geometry import se3 as _se3
+    from multi_orbslam3_tpu.geometry import sim3 as _sim3
+    move_kf = m.kf_map_id == m.active_map
+    move_mp = m.mp_map_id == m.active_map
+    S_inv = _sim3.inverse(S_loop)
+    new_pos = _sim3.apply(S_inv, m.mp_pos)
+    mp_pos = jnp.where(move_mp[:, None], new_pos, m.mp_pos)
+    S_cw = _sim3.from_se3(m.kf_pose)
+    S_new = _sim3.compose(S_cw, S_loop)
+    T_new = _se3.make(S_new.R, S_new.t / S_new.s[..., None])
+    kf_pose = jnp.where(move_kf[:, None, None], T_new, m.kf_pose)
+    return m._replace(
+        kf_pose=kf_pose, mp_pos=mp_pos,
+        kf_map_id=jnp.where(move_kf, jnp.int32(target_map), m.kf_map_id),
+        mp_map_id=jnp.where(move_mp, jnp.int32(target_map), m.mp_map_id),
+        active_map=jnp.int32(target_map))

@@ -183,7 +183,13 @@ class MonoInertialSlam(MonoSlam):
         self._inertial_window_ba(n - 1)
 
     def _apply_map_gauge(self, S: sim3.Sim3):
-        """Transform every map entity by similarity S (world re-gauge)."""
+        """Transform every map entity by similarity S (world re-gauge).
+
+        The event is recorded for the collaborative uplink: the reference
+        ships mScale/mRgw with the next Map msg and the server re-gauges
+        its copy with ApplyScaledRotation (Map.cc:497-503,
+        Communicator.cc:240-252)."""
+        self.pending_gauge = (float(S.s), np.asarray(S.R).T.astype(np.float32))
         m = self.m
         new_mp = sim3.apply(S, m.mp_pos)
         S_cw = sim3.from_se3(m.kf_pose)

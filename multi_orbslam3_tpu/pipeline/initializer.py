@@ -58,6 +58,85 @@ def _sampson_err(E: jnp.ndarray, b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarra
     return num / (den + 1e-12)
 
 
+def _four_point_h(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    """DLT homography from 4 correspondences on the unit plane:
+    (4, 3) x (4, 3) -> H (3, 3) with b2 ~ H b1."""
+    x1, y1 = b1[:, 0], b1[:, 1]
+    x2, y2 = b2[:, 0], b2[:, 1]
+    z = jnp.zeros_like(x1)
+    o = jnp.ones_like(x1)
+    rows_a = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], axis=1)
+    rows_b = jnp.stack([z, z, z, x1, y1, o, -y2 * x1, -y2 * y1, -y2], axis=1)
+    A = jnp.concatenate([rows_a, rows_b], axis=0)        # (8, 9)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    return Vt[-1].reshape(3, 3)
+
+
+def _h_transfer_err(H: jnp.ndarray, b1: jnp.ndarray,
+                    b2: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric transfer error of a homography on the unit plane."""
+    Hb1 = b1 @ H.T
+    p12 = Hb1[:, :2] / (Hb1[:, 2:3] + 1e-12)
+    Hinv_b2 = b2 @ jnp.linalg.inv(H).T
+    p21 = Hinv_b2[:, :2] / (Hinv_b2[:, 2:3] + 1e-12)
+    e12 = jnp.sum((p12 - b2[:, :2]) ** 2, axis=-1)
+    e21 = jnp.sum((p21 - b1[:, :2]) ** 2, axis=-1)
+    return e12 + e21
+
+
+def _decompose_H(H: jnp.ndarray):
+    """Faugeras SVD decomposition of a calibrated homography into the 8
+    candidate (R, t) motions (the same hypothesis set the reference's
+    ReconstructH tests, src/TwoViewReconstruction.cc). |t| normalized to 1
+    by the caller's cheirality stage."""
+    U, d, Vt = jnp.linalg.svd(H)
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d1, d2, d3 = d[0], d[1], d[2]
+    denom = jnp.maximum(d1 * d1 - d3 * d3, 1e-12)
+    aux1 = jnp.sqrt(jnp.maximum(d1 * d1 - d2 * d2, 0.0) / denom)
+    aux3 = jnp.sqrt(jnp.maximum(d2 * d2 - d3 * d3, 0.0) / denom)
+    x1s = jnp.array([aux1, aux1, -aux1, -aux1])
+    x3s = jnp.array([aux3, -aux3, aux3, -aux3])
+
+    # case d' = +d2
+    sin_t = jnp.sqrt(jnp.maximum(
+        (d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)) / \
+        jnp.maximum((d1 + d3) * d2, 1e-12)
+    cos_t = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, 1e-12)
+
+    def rt_pos(x1, x3, eps):
+        st, ct = eps * sin_t, cos_t
+        Rp = jnp.array([[ct, 0.0, -st], [0.0, 1.0, 0.0], [st, 0.0, ct]])
+        tp = (d1 - d3) * jnp.array([x1, 0.0, -x3])
+        return s * (U @ Rp @ Vt), U @ tp
+
+    # case d' = -d2
+    sin_p = jnp.sqrt(jnp.maximum(
+        (d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)) / \
+        jnp.maximum((d1 - d3) * d2, 1e-12)
+    cos_p = (d1 * d3 - d2 * d2) / jnp.maximum((d1 - d3) * d2, 1e-12)
+
+    def rt_neg(x1, x3, eps):
+        sp, cp = eps * sin_p, cos_p
+        Rp = jnp.array([[cp, 0.0, sp], [0.0, -1.0, 0.0], [sp, 0.0, -cp]])
+        tp = (d1 + d3) * jnp.array([x1, 0.0, x3])
+        return s * (U @ Rp @ Vt), U @ tp
+
+    Rs, ts = [], []
+    for i, eps in zip(range(4), (1.0, -1.0, -1.0, 1.0)):
+        R, t = rt_pos(x1s[i], x3s[i], eps)
+        Rs.append(R)
+        ts.append(t)
+    for i, eps in zip(range(4), (1.0, -1.0, -1.0, 1.0)):
+        R, t = rt_neg(x1s[i], x3s[i], eps)
+        Rs.append(R)
+        ts.append(t)
+    Rs = jnp.stack(Rs)
+    ts = jnp.stack(ts)
+    ts = ts / (jnp.linalg.norm(ts, axis=-1, keepdims=True) + 1e-12)
+    return Rs, ts
+
+
 def _decompose_E(E: jnp.ndarray):
     """E -> 4 candidate (R, t) with |t| = 1."""
     U, _, Vt = jnp.linalg.svd(E)
@@ -89,7 +168,9 @@ def initialize_two_view(K: cam.PinholeK, uv1: jnp.ndarray, uv2: jnp.ndarray,
     f = (K.fx + K.fy) * 0.5
     th = (inlier_th_px / f) ** 2
 
-    # --- hypothesis batch ---
+    # --- hypothesis batch: E (8-pt) and H (4-pt) evaluated in parallel,
+    # the reference's dual H/F RANSAC with RH model selection
+    # (TwoViewReconstruction::Reconstruct, RH > 0.4 -> homography) ---
     w = match_valid.astype(jnp.float32)
     idx = jax.vmap(
         lambda k: jax.random.choice(k, M, (8,), replace=False, p=w / jnp.sum(w))
@@ -100,6 +181,19 @@ def initialize_two_view(K: cam.PinholeK, uv1: jnp.ndarray, uv2: jnp.ndarray,
     scores = jnp.sum(inl, axis=1)
     best = jnp.argmax(scores)
     inliers = inl[best]
+
+    Hs = jax.vmap(lambda i: _four_point_h(b1[i[:4]], b2[i[:4]]))(idx)
+    errs_h = jax.vmap(lambda H: _h_transfer_err(H, b1, b2))(Hs)
+    # symmetric transfer uses 2 squared distances -> threshold 2*th
+    inl_h = (errs_h < 2.0 * th) & match_valid[None, :]
+    scores_h = jnp.sum(inl_h, axis=1)
+    best_h = jnp.argmax(scores_h)
+    inliers_h = inl_h[best_h]
+
+    # model selection: relative support of H vs E
+    nH = jnp.sum(inliers_h.astype(jnp.float32))
+    nE = jnp.sum(inliers.astype(jnp.float32))
+    use_h = nH / jnp.maximum(nH + nE, 1.0) > 0.45
 
     # --- refine on inliers (weighted DLT over all M with inlier weights) ---
     x1, y1 = b1[:, 0], b1[:, 1]
@@ -112,10 +206,32 @@ def initialize_two_view(K: cam.PinholeK, uv1: jnp.ndarray, uv2: jnp.ndarray,
     U, S, Vt2 = jnp.linalg.svd(E)
     E = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0]) * (S[0] + S[1]) * 0.5) @ Vt2
     err_r = _sampson_err(E, b1, b2)
-    inliers = (err_r < th) & match_valid
+    inliers_e = (err_r < th) & match_valid
 
-    # --- cheirality over 4 decompositions ---
-    Rs, ts = _decompose_E(E)
+    # refine H on its inliers (weighted DLT)
+    zz = jnp.zeros_like(x1)
+    oo = jnp.ones_like(x1)
+    rows_a = jnp.stack([x1, y1, oo, zz, zz, zz, -x2 * x1, -x2 * y1, -x2],
+                       axis=1)
+    rows_b = jnp.stack([zz, zz, zz, x1, y1, oo, -y2 * x1, -y2 * y1, -y2],
+                       axis=1)
+    Ah = jnp.concatenate([rows_a * inliers_h[:, None],
+                          rows_b * inliers_h[:, None]], axis=0)
+    _, _, Vth = jnp.linalg.svd(Ah, full_matrices=False)
+    H = Vth[-1].reshape(3, 3)
+    inliers_h = (_h_transfer_err(H, b1, b2) < 2.0 * th) & match_valid
+
+    inliers = jnp.where(use_h, inliers_h, inliers_e)
+
+    # --- cheirality over the candidate motions of the winning model:
+    # 4 from E, 8 from H (padded into one fixed set of 8; the E set
+    # repeats its last entry) ---
+    Rs_e, ts_e = _decompose_E(E)
+    Rs_h, ts_h = _decompose_H(H)
+    Rs_e8 = jnp.concatenate([Rs_e, Rs_e], axis=0)
+    ts_e8 = jnp.concatenate([ts_e, ts_e], axis=0)
+    Rs = jnp.where(use_h, Rs_h, Rs_e8)
+    ts = jnp.where(use_h, ts_h, ts_e8)
     T1 = jnp.broadcast_to(se3.identity(), (M, 4, 4))
 
     def count_front(R, t):

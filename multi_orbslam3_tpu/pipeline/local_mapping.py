@@ -105,7 +105,8 @@ def fuse_into_keyframe(m: MapState, kf, K: cam.PinholeK, *,
     # viewing angle gate: cos(normal, view) > 0.5 (Fuse's 60 degree test)
     view = (m.mp_pos - cam_center[None, :]) / jnp.maximum(dist, 1e-8)[:, None]
     angle_ok = jnp.sum(view * m.mp_normal, axis=-1) > 0.5
-    proj_valid = (m.mp_valid & (p_c[..., 2] > 0.05) & d_ok & angle_ok
+    proj_valid = (m.mp_valid & (m.mp_map_id == m.active_map)
+                  & (p_c[..., 2] > 0.05) & d_ok & angle_ok
                   & cam.in_image(uv_proj, width, height))
     ratio = jnp.maximum(m.mp_max_dist, 1e-6) / jnp.maximum(dist, 1e-6)
     pred_lv = jnp.clip((jnp.log(jnp.maximum(ratio, 1e-6))

@@ -230,8 +230,20 @@ class LoopCloser:
         if not bool(res.ok):
             return m
 
-        m = correct_loop(m, kf_j, jnp.int32(best), res.S,
-                         fix_scale=fix_scale)
+        # candidate in another sub-map => Atlas merge: weld the active
+        # sub-map into the candidate's map before distributing the
+        # correction (reference LoopClosing::MergeLocal, LoopClosing.cc:1316)
+        cand_map = int(m.kf_map_id[best])
+        if cand_map != int(m.active_map):
+            m = ms.merge_active_into(m, cand_map, res.S)
+            self.merges = getattr(self, "merges", 0) + 1
+            # residual error is distributed by the pose graph below with
+            # an identity loop constraint (maps are already aligned)
+            m = correct_loop(m, kf_j, jnp.int32(best), sim3.identity(),
+                             fix_scale=fix_scale)
+        else:
+            m = correct_loop(m, kf_j, jnp.int32(best), res.S,
+                             fix_scale=fix_scale)
         # fuse duplicate landmarks along the verified correspondences
         cur = jnp.where(lm.valid & res.inliers, lm.cur_mp, -1)
         cand = jnp.where(lm.valid & res.inliers, lm.cand_mp, -1)

@@ -76,6 +76,12 @@ class MonoSlam:
     # ------------------------------------------------------------------
     def process_frame(self, img: np.ndarray, timestamp: float) -> TrackState:
         self.frame_id += 1
+        # dataset-change detection: a >4 s timestamp jump starts a new
+        # sub-map (reference ClientNode ChangeDataset, ros/src/
+        # ClientNode.cc:81-138 + Tracking.cc:1555-1587)
+        if self.trajectory and timestamp - self.trajectory[-1][0] > 4.0 \
+                and self.state != TrackState.NOT_INITIALIZED:
+            self._create_new_map(reason="timestamp_jump")
         if self.state == TrackState.NOT_INITIALIZED:
             feats = extractor.extract_features(
                 jnp.asarray(img, jnp.float32), self.cfg)
@@ -218,13 +224,51 @@ class MonoSlam:
             self.state = (TrackState.RECENTLY_LOST
                           if self.lost_count < c.tracking.relost_timeout
                           else TrackState.LOST)
+            if self.state == TrackState.LOST:
+                # Atlas ladder (Tracking.cc:2007-2027): a mature map is
+                # kept and a fresh sub-map starts; an immature one is
+                # discarded and rebuilt in place
+                n_active = int(jnp.sum(
+                    self.m.kf_valid
+                    & (self.m.kf_map_id == self.m.active_map)))
+                if n_active >= 10:
+                    self._create_new_map(reason="lost")
+                else:
+                    self._reset_active_map()
+
+    # ------------------------------------------------------------------
+    def _create_new_map(self, reason: str = "") -> None:
+        """Start a fresh sub-map in the Atlas (Tracking::CreateMapInAtlas,
+        src/Tracking.cc:2400). Existing sub-maps stay queryable for
+        relocalization / loop-driven merges."""
+        self._next_map_id = max(getattr(self, "_next_map_id", 0),
+                                int(self.m.active_map)) + 1
+        self.m = ms.switch_map(self.m, self._next_map_id)
+        self.state = TrackState.NOT_INITIALIZED
+        self._init_feats = None
+        self.lost_count = 0
+        self.T_vel = np.eye(4, dtype=np.float32)
+        self.stats["maps_created"] = self.stats.get("maps_created", 0) + 1
+
+    def _reset_active_map(self) -> None:
+        """Discard the immature active sub-map and re-initialize in place
+        (Tracking::ResetActiveMap, src/Tracking.cc:3588)."""
+        self.m = ms.erase_active_map(self.m)
+        self.state = TrackState.NOT_INITIALIZED
+        self._init_feats = None
+        self.lost_count = 0
+        self.T_vel = np.eye(4, dtype=np.float32)
+        self.stats["map_resets"] = self.stats.get("map_resets", 0) + 1
 
     # ------------------------------------------------------------------
     def _relocalize(self, feats: FrameFeatures):
         """Database-wide recovery: query the loop closer's BoW database for
-        the best-matching keyframe and track against it from its pose."""
+        the best-matching keyframe, solve the pose from scratch with RANSAC
+        PnP (reference Tracking::Relocalization -> PnPsolver), and fall
+        back to candidate-pose-seeded descriptor tracking."""
         if self.loop_closer is None:
             return None
+        import jax
         from multi_orbslam3_tpu.bow import database as dbm
         scores = dbm.query(self.loop_closer.db, self.loop_closer.voc,
                            feats.desc, feats.valid,
@@ -232,15 +276,30 @@ class MonoSlam:
         best = int(jnp.argmax(scores))
         if float(scores[best]) < 0.02:
             return None
-        res = tracking.track_reference_kf(
-            self.m, jnp.int32(best), feats,
-            self.m.kf_pose[best], self.K,
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        res = tracking.relocalize_candidate(
+            self.m, jnp.int32(best), feats, self.K, sub,
             scale_factor=self.cfg.orb.scale_factor)
         if int(res.n_inliers) < self.cfg.tracking.min_matches_refkf:
-            return None
+            # fallback: candidate-pose-seeded tracking (the reference also
+            # retries with guided projection search)
+            res = tracking.track_reference_kf(
+                self.m, jnp.int32(best), feats,
+                self.m.kf_pose[best], self.K,
+                scale_factor=self.cfg.orb.scale_factor)
+            if int(res.n_inliers) < self.cfg.tracking.min_matches_refkf:
+                return None
         self.stats["relocalizations"] = self.stats.get(
             "relocalizations", 0) + 1
         self.ref_kf = best
+        # relocalized into another sub-map: continue tracking there
+        # (Atlas::ChangeMap analog; the abandoned map stays for later
+        # loop-driven merging)
+        cand_map = int(self.m.kf_map_id[best])
+        if cand_map != int(self.m.active_map):
+            self.m = ms.switch_map(self.m, cand_map)
+            self.stats["map_switches"] = self.stats.get(
+                "map_switches", 0) + 1
         return res
 
     # ------------------------------------------------------------------
@@ -315,14 +374,21 @@ class MonoSlam:
 
     # ------------------------------------------------------------------
     def keyframe_trajectory(self) -> List[Tuple[float, np.ndarray]]:
-        """(timestamp, T_cw) per valid keyframe, ordered by slot id —
-        the reference's SaveKeyFrameTrajectoryEuRoC semantics."""
+        """(timestamp, T_cw) per valid keyframe of the BIGGEST sub-map,
+        ordered by slot id — the reference's SaveKeyFrameTrajectoryEuRoC
+        semantics (it picks the biggest map, src/ServerSystem.cc:138-185)."""
         out = []
         n = int(self.m.n_kf)
         valid = np.asarray(self.m.kf_valid[:n])
+        map_id = np.asarray(self.m.kf_map_id[:n])
         ts = np.asarray(self.m.kf_timestamp[:n])
         poses = np.asarray(self.m.kf_pose[:n])
+        if valid.any():
+            ids, counts = np.unique(map_id[valid], return_counts=True)
+            biggest = int(ids[np.argmax(counts)])
+        else:
+            biggest = 0
         for i in range(n):
-            if valid[i]:
+            if valid[i] and map_id[i] == biggest:
                 out.append((float(ts[i]), poses[i]))
         return out

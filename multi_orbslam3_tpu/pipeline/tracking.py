@@ -65,7 +65,8 @@ def _match_and_invert(m: MapState, T: jnp.ndarray, feats: FrameFeatures,
     p_c = se3.apply(T[None], m.mp_pos)
     uv_proj = cam.project(K, p_c)
     cam_center = -jnp.einsum("ji,j->i", T[:3, :3], T[:3, 3])
-    proj_valid = (m.mp_valid & (p_c[..., 2] > 0.1)
+    proj_valid = (m.mp_valid & (m.mp_map_id == m.active_map)
+                  & (p_c[..., 2] > 0.1)
                   & cam.in_image(uv_proj, width, height))
     # scale the search radius with the predicted level (reference does the
     # same through mvScaleFactors[nPredictedLevel])
@@ -163,6 +164,40 @@ def extract_and_track(m: MapState, img: jnp.ndarray, T_pred: jnp.ndarray,
     ONE compiled program — no host roundtrip between the stages (the
     host-side state machine only consumes the scalar outputs)."""
     return _fused_step(config)(m, img, T_pred)
+
+
+@functools.partial(jax.jit, static_argnames=("scale_factor",))
+def relocalize_candidate(m: MapState, cand_kf: jnp.ndarray,
+                         feats: FrameFeatures, K: cam.PinholeK,
+                         key: jnp.ndarray,
+                         scale_factor: float = 1.2) -> TrackResult:
+    """Relocalization against a BoW candidate keyframe (reference
+    Tracking::Relocalization, src/Tracking.cc:3353): descriptor-match the
+    frame to the candidate's landmark-bearing features, solve the pose
+    from scratch with batched RANSAC PnP (PnPsolver/MLPnPsolver analog —
+    no motion-model or candidate-pose seed), then refine."""
+    from multi_orbslam3_tpu.opt import pnp
+
+    kf_desc = m.kf_desc[cand_kf]
+    kf_feat_valid = m.kf_feat_valid[cand_kf] & (m.kf_mp[cand_kf] >= 0)
+    res = matcher.match_mutual(feats.desc, feats.valid, kf_desc,
+                               kf_feat_valid, max_dist=matcher.TH_LOW,
+                               ratio=0.85, angle1=feats.angle,
+                               angle2=m.kf_angle[cand_kf])
+    kf_mp_row = m.kf_mp[cand_kf]
+    feat_mp = jnp.where(res.idx >= 0,
+                        kf_mp_row[jnp.where(res.idx >= 0, res.idx, 0)], NO_MP)
+    n_matches = jnp.sum((feat_mp >= 0).astype(jnp.int32))
+    mp_safe = jnp.where(feat_mp >= 0, feat_mp, 0)
+    sol = pnp.pnp_ransac(
+        K, m.mp_pos[mp_safe], feats.uv_und, (feat_mp >= 0) & feats.valid,
+        level_inv_sigma2(feats.level, scale_factor), key)
+    feat_mp_in = jnp.where(sol.inliers, feat_mp, NO_MP)
+    visible = jnp.zeros(m.mp_pos.shape[0], bool).at[
+        jnp.where(kf_mp_row >= 0, kf_mp_row, 0)].max(kf_mp_row >= 0)
+    return TrackResult(pose=sol.pose, feat_mp=feat_mp_in,
+                       n_inliers=jnp.where(sol.ok, sol.n_inliers, 0),
+                       n_matches=n_matches, visible=visible)
 
 
 @functools.partial(jax.jit, static_argnames=("scale_factor",))

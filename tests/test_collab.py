@@ -136,3 +136,52 @@ class TestCollabTwoAgents:
         total_corr = (c0.stats["corrections_applied"]
                       + c1.stats["corrections_applied"])
         assert total_corr > 0
+
+
+class TestInertialUplink:
+    def test_gauge_handoff(self):
+        # server re-gauges its copy of an agent's sub-map when the delta
+        # carries mScale/mRgw (Communicator::RunServer ApplyScaledRotation)
+        c = small_config()
+        tr = InProcessTransport()
+        server = CollabServer(c, tr, n_agents=1, arena_kf=32, arena_mp=256)
+        n = c.orb.n_features
+        rng = np.random.RandomState(5)
+        kfs = protocol.KFPayload(
+            agent=0, local_id=np.asarray([0], np.int32),
+            timestamp=np.asarray([0.0]),
+            ref_ids=np.full((1, 3), -1, np.int32),
+            T_rel=np.zeros((1, 3, 4, 4), np.float32),
+            T_abs=np.eye(4, dtype=np.float32)[None],
+            is_first=np.asarray([True]),
+            uv=rng.rand(1, n, 2).astype(np.float32) * 100,
+            desc=rng.randint(0, 2**32, (1, n, 8), dtype=np.uint32),
+            level=np.zeros((1, n), np.int32),
+            angle=np.zeros((1, n), np.float32),
+            feat_valid=np.ones((1, n), bool),
+            mp_local=np.full((1, n), -1, np.int32))
+        mps = protocol.MPPayload(
+            agent=0, local_id=np.asarray([0], np.int32),
+            ref_kf_local=np.asarray([-1], np.int32),
+            pos_rel=np.zeros((1, 3), np.float32),
+            pos_abs=np.asarray([[1.0, 2.0, 3.0]], np.float32),
+            desc=rng.randint(0, 2**32, (1, 8), dtype=np.uint32))
+        tr.send_up(0, protocol.MapDelta(agent=0, seq=1, kfs=kfs, mps=mps,
+                                        inertial=True).to_bytes())
+        server.comm_cycle()
+        assert server.stats["kf_ingested"] == 1
+        assert server.agents[0].inertial
+        # now the gauge event: scale 2, identity rotation
+        tr.send_up(0, protocol.MapDelta(
+            agent=0, seq=2, scale=2.0,
+            R_gw=np.eye(3, dtype=np.float32), inertial=True).to_bytes())
+        server.comm_cycle()
+        assert server.stats.get("gauge_applied", 0) == 1
+        slot = server.agents[0].mp_l2s[0]
+        np.testing.assert_allclose(np.array(server.m.mp_pos[slot]),
+                                   [2.0, 4.0, 6.0], atol=1e-5)
+        kslot = server.agents[0].kf_l2s[0]
+        # T_cw' = [R, s*t] gauge update keeps the camera seeing the same
+        # (rescaled) scene: translation doubles with identity R/t=0 -> stays 0
+        np.testing.assert_allclose(np.array(server.m.kf_pose[kslot]),
+                                   np.eye(4), atol=1e-5)

@@ -213,3 +213,53 @@ class TestFuse:
         # landmark 2 attached to feature 2 of kf 1
         assert int(m2.kf_mp[1, 2]) == 2
         assert int(out.n_attached) >= 1
+
+
+class TestAtlas:
+    def test_switch_and_stamp(self):
+        m = ms.empty_map(4, 8, 4)
+        no = jnp.full((4,), ms.NO_MP, jnp.int32)
+        m, k0 = ms.add_keyframe(m, _feats(n=4), jnp.eye(4), 0.0, no, -1)
+        m = ms.switch_map(m, 1)
+        m, k1 = ms.add_keyframe(m, _feats(n=4, seed=1), jnp.eye(4), 1.0, no, -1)
+        assert int(m.kf_map_id[0]) == 0 and int(m.kf_map_id[1]) == 1
+        m, slots = ms.add_mappoints(
+            m, jnp.ones((2, 3)), jnp.ones(2, bool),
+            jnp.zeros((2, 8), jnp.uint32), 1,
+            1, jnp.asarray([0, 1], jnp.int32), 1, jnp.asarray([2, 3], jnp.int32))
+        assert int(m.mp_map_id[0]) == 1
+
+    def test_erase_active_map(self):
+        m = ms.empty_map(4, 8, 4)
+        no = jnp.full((4,), ms.NO_MP, jnp.int32)
+        m, _ = ms.add_keyframe(m, _feats(n=4), jnp.eye(4), 0.0, no, -1)
+        m = ms.switch_map(m, 1)
+        m, _ = ms.add_keyframe(m, _feats(n=4, seed=1), jnp.eye(4), 1.0, no, -1)
+        m, _ = ms.add_mappoints(
+            m, jnp.ones((1, 3)), jnp.ones(1, bool),
+            jnp.zeros((1, 8), jnp.uint32), 1,
+            1, jnp.zeros(1, jnp.int32), 1, jnp.ones(1, jnp.int32))
+        m = ms.erase_active_map(m)
+        assert bool(m.kf_valid[0]) and not bool(m.kf_valid[1])
+        assert not bool(m.mp_valid[0])
+
+    def test_merge_active_into(self):
+        from multi_orbslam3_tpu.geometry import sim3
+        m = ms.empty_map(4, 8, 4)
+        no = jnp.full((4,), ms.NO_MP, jnp.int32)
+        m, _ = ms.add_keyframe(m, _feats(n=4), jnp.eye(4), 0.0, no, -1)
+        m = ms.switch_map(m, 1)
+        T1 = np.eye(4, dtype=np.float32); T1[0, 3] = 2.0
+        m, _ = ms.add_keyframe(m, _feats(n=4, seed=1), jnp.asarray(T1), 1.0,
+                               no, -1)
+        m, _ = ms.add_mappoints(
+            m, jnp.asarray([[1.0, 0.0, 3.0]]), jnp.ones(1, bool),
+            jnp.zeros((1, 8), jnp.uint32), 1,
+            1, jnp.zeros(1, jnp.int32), 1, jnp.ones(1, jnp.int32))
+        # identity Sim3: merging just relabels
+        m2 = ms.merge_active_into(m, 0, sim3.identity())
+        assert int(m2.active_map) == 0
+        assert int(m2.kf_map_id[1]) == 0 and int(m2.mp_map_id[0]) == 0
+        np.testing.assert_allclose(np.array(m2.kf_pose[1]), T1, atol=1e-5)
+        np.testing.assert_allclose(np.array(m2.mp_pos[0]), [1.0, 0.0, 3.0],
+                                   atol=1e-5)

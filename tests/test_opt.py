@@ -132,3 +132,27 @@ class TestBundleAdjust:
         np.testing.assert_allclose(np.asarray(res.poses),
                                    np.asarray(poses_true), atol=1e-6)
         assert float(jnp.abs(res.points - pts_true).max()) < 1e-2
+
+
+class TestPnP:
+    def test_ransac_pnp_with_outliers(self):
+        import jax
+        from multi_orbslam3_tpu.geometry import camera, se3
+        from multi_orbslam3_tpu.opt import pnp
+        K = camera.PinholeK(*[jnp.float32(v) for v in (400., 400., 160., 120.)])
+        rng = np.random.RandomState(0)
+        n = 100
+        pts = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                        rng.uniform(3, 8, n)], 1).astype(np.float32)
+        T = se3.exp(jnp.asarray([0.1, -0.2, 0.15, 0.3, -0.2, 0.5]))
+        uv = np.array(camera.project(K, se3.apply(T, jnp.asarray(pts))))
+        uv[:20] += rng.uniform(30, 80, (20, 2))     # 20% outliers
+        res = pnp.pnp_ransac(K, jnp.asarray(pts), jnp.asarray(uv),
+                             jnp.ones(n, bool), jnp.ones(n, jnp.float32),
+                             jax.random.PRNGKey(1))
+        assert bool(res.ok)
+        err = np.array(res.pose) @ np.linalg.inv(np.array(T))
+        assert abs(np.trace(err[:3, :3]) - 3.0) < 1e-2
+        assert np.linalg.norm(err[:3, 3]) < 1e-2
+        inl = np.array(res.inliers)
+        assert inl[:20].mean() < 0.2 and inl[20:].mean() > 0.9

@@ -65,6 +65,31 @@ class TestInitializer:
             K, uv1, uv2, jnp.ones(n, bool), jax.random.PRNGKey(1))
         assert not bool(res.ok)
 
+    def test_planar_scene_homography_path(self):
+        # all landmarks on one plane: F/E is degenerate, the homography
+        # model must win (reference RH > 0.4 selection) and still recover
+        # the correct motion
+        rng = np.random.RandomState(4)
+        n = 200
+        xy = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n)], 1)
+        # plane z = 5 + 0.3x - 0.2y
+        z = 5.0 + 0.3 * xy[:, 0] - 0.2 * xy[:, 1]
+        pts = np.concatenate([xy, z[:, None]], 1).astype(np.float32)
+        T2 = se3.exp(jnp.asarray([0.02, -0.03, 0.01, 0.5, 0.1, 0.05]))
+        uv1 = camera.project(K, jnp.asarray(pts))
+        uv2 = camera.project(K, se3.apply(T2, jnp.asarray(pts)))
+        res = initializer.initialize_two_view(
+            K, uv1, uv2, jnp.ones(n, bool), jax.random.PRNGKey(4))
+        assert bool(res.ok)
+        t_est = np.asarray(se3.translation(res.T_21))
+        t_true = np.asarray(se3.translation(T2))
+        cos = np.dot(t_est, t_true) / (np.linalg.norm(t_est)
+                                       * np.linalg.norm(t_true))
+        assert cos > 0.99, f"translation direction cos {cos}"
+        R_err = np.asarray(se3.rotation(res.T_21)).T @ np.asarray(
+            se3.rotation(T2))
+        assert abs(np.trace(R_err) - 3.0) < 1e-2
+
     def test_handles_outliers(self):
         rng = np.random.RandomState(2)
         n = 200
@@ -106,3 +131,26 @@ class TestMonoSlamE2E:
         # world scale: trajectory spans ~3 m; demand cm-level relative accuracy
         span = np.linalg.norm(gt_c.max(0) - gt_c.min(0))
         assert rmse < 0.05 * span, f"ATE {rmse:.3f} vs span {span:.2f}"
+
+
+@pytest.mark.slow
+class TestAtlasLadder:
+    def test_timestamp_jump_creates_new_map(self):
+        c = small_config()
+        seq0 = synthetic.make_sequence(c, n_frames=16, n_points=500, seed=21,
+                                       trajectory="forward", phase=0.0)
+        seq1 = synthetic.make_sequence(c, n_frames=16, n_points=500, seed=22,
+                                       trajectory="forward", phase=0.5)
+        slam = MonoSlam(c, enable_loop_closing=False)
+        for i in range(16):
+            slam.process_frame(seq0.images[i], float(seq0.timestamps[i]))
+        t_off = float(seq0.timestamps[-1]) + 10.0
+        for i in range(16):
+            slam.process_frame(seq1.images[i],
+                               t_off + float(seq1.timestamps[i]))
+        assert slam.stats.get("maps_created", 0) >= 1
+        map_ids = set(np.array(slam.m.kf_map_id)[np.array(slam.m.kf_valid)])
+        assert len(map_ids) >= 2, f"expected 2 sub-maps, got {map_ids}"
+        # trajectory export uses one (the biggest) sub-map only
+        traj = slam.keyframe_trajectory()
+        assert len(traj) > 0
