@@ -33,7 +33,13 @@ def load_map(path: str) -> tuple[MapState, Dict[str, np.ndarray]]:
         data = {k: z[k] for k in z.files}
     fields = {}
     for name in MapState._fields:
-        fields[name] = jnp.asarray(data[f"map.{name}"])
+        key = f"map.{name}"
+        if key not in data and name == "kf_ur":
+            # checkpoints written before stereo right-u storage: mono map
+            k, n = data["map.kf_mp"].shape
+            fields[name] = jnp.full((k, n), -1.0, jnp.float32)
+            continue
+        fields[name] = jnp.asarray(data[key])
     extra = {k[len("extra."):]: v for k, v in data.items()
              if k.startswith("extra.")}
     return MapState(**fields), extra

@@ -49,6 +49,9 @@ class MapState(NamedTuple):
     kf_angle: jnp.ndarray        # (K, N) float32
     kf_feat_valid: jnp.ndarray   # (K, N) bool
     kf_mp: jnp.ndarray           # (K, N) int32 map-point slot or NO_MP
+    kf_ur: jnp.ndarray           # (K, N) f32 stereo right-u (reference
+                                 # mvuRight, src/Frame.cc:785-965); -1 = mono
+                                 # or unmatched feature
     # --- map points ---
     mp_pos: jnp.ndarray          # (P, 3)
     mp_valid: jnp.ndarray        # (P,) bool
@@ -95,6 +98,7 @@ def empty_map(max_kf: int, max_mp: int, n_feat: int) -> MapState:
         kf_angle=jnp.zeros((max_kf, n_feat), f32),
         kf_feat_valid=jnp.zeros((max_kf, n_feat), bool),
         kf_mp=jnp.full((max_kf, n_feat), NO_MP, i32),
+        kf_ur=jnp.full((max_kf, n_feat), -1.0, f32),
         mp_pos=jnp.zeros((max_mp, 3), f32),
         mp_valid=jnp.zeros(max_mp, bool),
         mp_map_id=jnp.zeros(max_mp, i32),
@@ -115,13 +119,17 @@ def empty_map(max_kf: int, max_mp: int, n_feat: int) -> MapState:
 @jax.jit
 def add_keyframe(m: MapState, feats: FrameFeatures, pose: jnp.ndarray,
                  timestamp, mp_assoc: jnp.ndarray, parent,
-                 agent=0) -> tuple[MapState, jnp.ndarray]:
+                 agent=0, u_r=None) -> tuple[MapState, jnp.ndarray]:
     """Insert a keyframe at the next free slot.
 
     mp_assoc: (N,) int32 map-point slot per feature (NO_MP where none) —
     the tracking thread's current associations (reference CreateNewKeyFrame,
-    src/Tracking.cc:2952). Returns (new_map, kf_slot).
+    src/Tracking.cc:2952). u_r: (N,) stereo right-u per feature (reference
+    mvuRight; -1 where unmatched), None for mono frames.
+    Returns (new_map, kf_slot).
     """
+    if u_r is None:
+        u_r = jnp.full((m.n_feat,), -1.0, jnp.float32)
     k = m.n_kf
     in_cap = k < m.max_kf
     k_safe = jnp.minimum(k, m.max_kf - 1)
@@ -145,6 +153,7 @@ def add_keyframe(m: MapState, feats: FrameFeatures, pose: jnp.ndarray,
         kf_feat_valid=m.kf_feat_valid.at[k_safe].set(
             sel(feats.valid, m.kf_feat_valid[k_safe])),
         kf_mp=m.kf_mp.at[k_safe].set(sel(mp_assoc, m.kf_mp[k_safe])),
+        kf_ur=m.kf_ur.at[k_safe].set(sel(u_r, m.kf_ur[k_safe])),
         n_kf=jnp.where(in_cap, k + 1, k),
     )
     return m, jnp.where(in_cap, k, jnp.int32(-1))

@@ -42,6 +42,11 @@ class BAObservations(NamedTuple):
     uv:  (O, 2) measured pixel position
     inv_sigma2: (O,) keypoint information
     valid: (O,) bool
+    u_r: optional (O,) stereo right-image u coordinate (-1 = monocular
+         observation). When present, stereo observations contribute a third
+         residual row (u_L - bf/z) - u_r — the reference's EdgeStereoSE3
+         (g2o EdgeStereoSE3ProjectXYZ, Optimizer.cc stereo edges), which
+         pins metric scale continuously.
     """
 
     kf: jnp.ndarray
@@ -49,6 +54,7 @@ class BAObservations(NamedTuple):
     uv: jnp.ndarray
     inv_sigma2: jnp.ndarray
     valid: jnp.ndarray
+    u_r: jnp.ndarray | None = None
 
 
 class BAResult(NamedTuple):
@@ -58,13 +64,29 @@ class BAResult(NamedTuple):
     chi2: jnp.ndarray      # () float32 mean inlier chi2
 
 
-def _obs_terms(poses, points, obs: BAObservations, K: cam.PinholeK):
-    """Per-observation residual r (O,2), J_cam (O,2,6), J_pt (O,2,3)."""
+def _obs_terms(poses, points, obs: BAObservations, K: cam.PinholeK,
+               bf=0.0):
+    """Per-observation residual r (O,R), J_cam (O,R,6), J_pt (O,R,3) with
+    R=2 (mono) or R=3 (stereo: third row is the right-u residual with
+    weight zero on mono observations)."""
     T = poses[obs.kf]                       # (O, 4, 4)
     p_w = points[obs.pt]                    # (O, 3)
     p_c = se3.apply(T, p_w)
     r = cam.project(K, p_c) - obs.uv
     Jproj = cam.project_jacobian(K, p_c)    # (O, 2, 3)
+    if obs.u_r is not None:
+        # u_r_pred = fx x/z + cx - bf/z; d/dpc = [fx/z, 0, (bf - fx x)/z^2].
+        # Mono observations (u_r < 0) get residual AND Jacobian row zeroed
+        # so they contribute no phantom information to H.
+        st = (obs.u_r >= 0).astype(p_c.dtype)
+        z = jnp.maximum(p_c[..., 2], 1e-6)
+        ur_pred = K.fx * p_c[..., 0] / z + K.cx - bf / z
+        r = jnp.concatenate(
+            [r, (st * (ur_pred - obs.u_r))[..., None]], axis=-1)
+        J_ur = st[..., None] * jnp.stack(
+            [K.fx / z, jnp.zeros_like(z),
+             (bf - K.fx * p_c[..., 0]) / (z * z)], axis=-1)
+        Jproj = jnp.concatenate([Jproj, J_ur[..., None, :]], axis=-2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=p_c.dtype), p_c.shape[:-1] + (3, 3))
     Jpc = jnp.concatenate([-so3.hat(p_c), eye], axis=-1)  # (O, 3, 6)
     J_cam = Jproj @ Jpc
@@ -81,18 +103,23 @@ def _chi2(r, inv_sigma2):
 def bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray, points: jnp.ndarray,
                   obs: BAObservations, K: cam.PinholeK, iters: int = 10,
                   chi2_th: float = robust.CHI2_MONO,
-                  structure_only: bool = False) -> BAResult:
+                  structure_only: bool = False,
+                  bf: float = 0.0) -> BAResult:
     """poses: (Kw,4,4) T_cw; fixed: (Kw,) bool anchor mask; points: (Pw,3).
 
     Levenberg damping with step rejection (chi2 monitored each iteration,
     reverting bad steps) — the fixed-iteration analog of g2o's LM loop.
+    bf = baseline * fx; only used when obs.u_r is present (stereo edges use
+    the 3-dof chi2 threshold, reference Optimizer.cc thChi2Stereo=7.815).
     """
     Kw = poses.shape[0]
     Pw = points.shape[0]
     free = ~fixed
+    if obs.u_r is not None:
+        chi2_th = jnp.where(obs.u_r >= 0, robust.CHI2_STEREO, chi2_th)
 
     def energy(poses_, points_):
-        r, _, _, behind = _obs_terms(poses_, points_, obs, K)
+        r, _, _, behind = _obs_terms(poses_, points_, obs, K, bf)
         c2 = _chi2(r, obs.inv_sigma2)
         # Huber rho(chi2): quadratic inside, linear outside
         rho = jnp.where(c2 <= chi2_th, c2,
@@ -101,7 +128,7 @@ def bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray, points: jnp.ndarray,
         return jnp.sum(jnp.where(w_valid, rho, 0.0))
 
     def step(poses_, points_, lam):
-        r, J_cam, J_pt, behind = _obs_terms(poses_, points_, obs, K)
+        r, J_cam, J_pt, behind = _obs_terms(poses_, points_, obs, K, bf)
         c2 = _chi2(r, obs.inv_sigma2)
         w = robust.huber_weight(c2, chi2_th) * obs.inv_sigma2
         w = jnp.where(obs.valid & ~behind, w, 0.0)
@@ -178,7 +205,7 @@ def bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray, points: jnp.ndarray,
     poses_f, points_f, _, _ = jax.lax.fori_loop(
         0, iters, body, (poses, points, jnp.float32(1e-4), e0))
 
-    r, _, _, behind = _obs_terms(poses_f, points_f, obs, K)
+    r, _, _, behind = _obs_terms(poses_f, points_f, obs, K, bf)
     c2 = _chi2(r, obs.inv_sigma2)
     inliers = obs.valid & ~behind & (c2 <= chi2_th)
     n_in = jnp.maximum(jnp.sum(inliers.astype(jnp.int32)), 1)

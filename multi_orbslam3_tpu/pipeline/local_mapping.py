@@ -163,7 +163,8 @@ def local_bundle_adjustment(m: MapState, kf_center, K: cam.PinholeK, *,
                             n_window: int = 16, n_fixed: int = 8,
                             n_points: int = 4096, scale_factor: float = 1.2,
                             iters: int = 8,
-                            covis_threshold: int = 15) -> LocalBAOut:
+                            covis_threshold: int = 15,
+                            bf=0.0) -> LocalBAOut:
     """Windowed BA around `kf_center` (reference LocalBundleAdjustment,
     Optimizer.cc:1810): the window is the top covisible keyframes; the next
     ring is fixed anchors; window landmarks are every point those KFs
@@ -213,11 +214,13 @@ def local_bundle_adjustment(m: MapState, kf_center, K: cam.PinholeK, *,
         uv=m.kf_uv[slots].reshape(-1, 2),
         inv_sigma2=level_inv_sigma2(m.kf_level[slots].reshape(-1),
                                     scale_factor),
-        valid=obs_valid)
+        valid=obs_valid,
+        u_r=m.kf_ur[slots].reshape(-1))
 
     poses0 = m.kf_pose[slots]
     points0 = m.mp_pos[jnp.where(pt_ok, pt_global, 0)]
-    res = local_ba.bundle_adjust(poses0, fixed, points0, obs, K, iters=iters)
+    res = local_ba.bundle_adjust(poses0, fixed, points0, obs, K, iters=iters,
+                                 bf=bf)
 
     # --- write back (parked scatters go to a padded scratch row so they can
     # never collide with genuine writes) ---

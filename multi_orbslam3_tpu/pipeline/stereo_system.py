@@ -55,6 +55,18 @@ class StereoSlam(MonoSlam):
         return self._process_with_depth(featsL, timestamp)
 
     # ------------------------------------------------------------------
+    def _frame_ur(self):
+        """Stereo right-u of the current frame — activates the third
+        residual row in pose optimization and local BA (reference stereo
+        edges pin metric scale continuously, Optimizer.cc stereo branch)."""
+        if self._cur_depth is None:
+            return None
+        return self._cur_depth.u_right
+
+    def _bf(self) -> float:
+        return self._baseline_fx
+
+    # ------------------------------------------------------------------
     def _process_with_depth(self, feats: FrameFeatures,
                             timestamp: float) -> TrackState:
         self.frame_id += 1
@@ -75,7 +87,7 @@ class StereoSlam(MonoSlam):
         n = feats.n
         no = jnp.full((n,), ms.NO_MP, jnp.int32)
         self.m, k0 = ms.add_keyframe(self.m, feats, jnp.eye(4), ts, no, -1,
-                                     self.agent)
+                                     self.agent, u_r=sd.u_right)
         # back-project with depth
         K = self.K
         bearing = cam.unproject(K, feats.uv_und)

@@ -169,6 +169,15 @@ class MonoSlam:
         return min(self.cfg.local_mapping.local_ba_points,
                    self.cfg.map.max_mappoints)
 
+    def _frame_ur(self):
+        """Hook: per-feature stereo right-u of the CURRENT frame (None for
+        monocular systems; StereoSlam/RGBDSlam supply mvuRight)."""
+        return None
+
+    def _bf(self) -> float:
+        """Hook: baseline * fx (0 disables stereo residuals)."""
+        return 0.0
+
     def _track(self, feats: FrameFeatures, ts: float) -> None:
         """Non-fused tracking path (kept for callers that already extracted
         features)."""
@@ -178,7 +187,8 @@ class MonoSlam:
             self.m, feats, jnp.asarray(T_pred), self.K,
             width=c.camera.width, height=c.camera.height,
             scale_factor=c.orb.scale_factor, n_levels=c.orb.n_levels,
-            radius_coarse=c.tracking.search_radius)
+            radius_coarse=c.tracking.search_radius,
+            u_r=self._frame_ur(), bf=self._bf())
         self._track_decide(feats, res, T_pred, ts)
 
     def _track_decide(self, feats: FrameFeatures, res, T_pred: np.ndarray,
@@ -316,7 +326,8 @@ class MonoSlam:
     def _insert_keyframe(self, feats: FrameFeatures, feat_mp: jnp.ndarray,
                          ts: float) -> None:
         m, k_new = ms.add_keyframe(self.m, feats, jnp.asarray(self.T_cur), ts,
-                                   feat_mp, self.ref_kf, self.agent)
+                                   feat_mp, self.ref_kf, self.agent,
+                                   u_r=self._frame_ur())
         k = int(k_new)
         if k < 0:   # capacity reached
             return
@@ -355,7 +366,8 @@ class MonoSlam:
             n_points=self._ba_points(),
             scale_factor=self.cfg.orb.scale_factor,
             iters=lm.local_ba_iters,
-            covis_threshold=self.cfg.map.covis_threshold)
+            covis_threshold=self.cfg.map.covis_threshold,
+            bf=self._bf())
         self.m = out.map
         # refresh landmark descriptors / normals / depth ranges over the
         # window (MapPoint::ComputeDistinctiveDescriptors + UpdateNormalAndDepth)

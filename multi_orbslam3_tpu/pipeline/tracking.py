@@ -89,14 +89,15 @@ def _match_and_invert(m: MapState, T: jnp.ndarray, feats: FrameFeatures,
 
 def _pose_from_assoc(m: MapState, feats: FrameFeatures, feat_mp: jnp.ndarray,
                      T_init: jnp.ndarray, K: cam.PinholeK,
-                     scale_factor: float, rounds: int = 4, iters: int = 10):
+                     scale_factor: float, rounds: int = 4, iters: int = 10,
+                     u_r=None, bf=0.0):
     mp_safe = jnp.where(feat_mp >= 0, feat_mp, 0)
     p_world = m.mp_pos[mp_safe]
     inv_s2 = level_inv_sigma2(feats.level, scale_factor)
     mask = (feat_mp >= 0) & feats.valid
     res = pose_opt.pose_optimization(T_init, K, p_world, feats.uv_und,
                                      inv_s2, mask, rounds=rounds,
-                                     iters=iters)
+                                     iters=iters, u_r=u_r, bf=bf)
     feat_mp_in = jnp.where(res.inliers, feat_mp, NO_MP)
     return res.pose, feat_mp_in, res.n_inliers
 
@@ -110,7 +111,8 @@ def track_frame(m: MapState, feats: FrameFeatures, T_pred: jnp.ndarray,
                 scale_factor: float, n_levels: int,
                 radius_coarse: float = 15.0,
                 radius_fine: float = 4.0,
-                opt_rounds: int = 2, opt_iters: int = 7) -> TrackResult:
+                opt_rounds: int = 2, opt_iters: int = 7,
+                u_r=None, bf=0.0) -> TrackResult:
     """Two-round guided tracking: coarse match at the predicted pose,
     optimize, re-match finely at the optimized pose, optimize again.
 
@@ -119,13 +121,17 @@ def track_frame(m: MapState, feats: FrameFeatures, T_pred: jnp.ndarray,
     motion-model seed and the re-match between stages, 2x7 converges to
     the same inlier set and halves the sequential-iteration latency that
     dominates the TPU step.
+
+    u_r/bf: optional per-feature stereo right-u + baseline*fx — adds the
+    reference's stereo pose edges (PoseOptimization stereo branch).
     """
     feat_mp, _ = _match_and_invert(m, T_pred, feats, K, radius_coarse,
                                    width, height, scale_factor, n_levels,
                                    level_slack=2)
     n_matches = jnp.sum((feat_mp >= 0).astype(jnp.int32))
     T1, feat_mp1, n1 = _pose_from_assoc(m, feats, feat_mp, T_pred, K,
-                                        scale_factor, opt_rounds, opt_iters)
+                                        scale_factor, opt_rounds, opt_iters,
+                                        u_r, bf)
     # round 2: tighter radius around the refined pose picks up more points
     feat_mp2, visible = _match_and_invert(m, T1, feats, K, radius_fine,
                                           width, height, scale_factor,
@@ -133,7 +139,8 @@ def track_frame(m: MapState, feats: FrameFeatures, T_pred: jnp.ndarray,
     # keep round-1 inlier associations where round 2 found nothing
     feat_mp2 = jnp.where(feat_mp2 >= 0, feat_mp2, feat_mp1)
     T2, feat_mp_f, n2 = _pose_from_assoc(m, feats, feat_mp2, T1, K,
-                                         scale_factor, opt_rounds, opt_iters)
+                                         scale_factor, opt_rounds, opt_iters,
+                                         u_r, bf)
     return TrackResult(pose=T2, feat_mp=feat_mp_f, n_inliers=n2,
                        n_matches=n_matches, visible=visible)
 

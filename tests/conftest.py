@@ -1,5 +1,11 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
-multi-chip sharding paths are exercised without TPU hardware."""
+multi-chip sharding paths are exercised without TPU hardware.
+
+NOTE: env vars alone are not enough — a site-installed TPU plugin may set
+``jax.config.jax_platforms`` programmatically at interpreter startup,
+which overrides JAX_PLATFORMS from the environment. We force the config
+back to cpu before any backend is initialized.
+"""
 
 import os
 
@@ -11,4 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.default_backend())

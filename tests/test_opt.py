@@ -156,3 +156,59 @@ class TestPnP:
         assert np.linalg.norm(err[:3, 3]) < 1e-2
         inl = np.array(res.inliers)
         assert inl[:20].mean() < 0.2 and inl[20:].mean() > 0.9
+
+
+class TestStereoResiduals:
+    """Stereo right-u rows (reference EdgeStereoSE3ProjectXYZ edges,
+    Optimizer.cc stereo branches) make global scale observable in BA."""
+
+    BF = 40.0  # baseline * fx
+
+    def _stereo_obs(self, n_kf=3, n_pts=80):
+        pts = make_scene(n_pts)
+        poses = jnp.stack([se3.exp(jnp.asarray(
+            [0.0, 0.01 * i, 0.0, 0.25 * i, 0.0, 0.0])) for i in range(n_kf)])
+
+        def proj(T):
+            pc = se3.apply(T, pts)
+            uv = camera.project(K, pc)
+            ur = K.fx * pc[..., 0] / pc[..., 2] + K.cx - self.BF / pc[..., 2]
+            return uv, ur
+
+        uvs, urs = zip(*[proj(poses[i]) for i in range(n_kf)])
+        obs = local_ba.BAObservations(
+            kf=jnp.repeat(jnp.arange(n_kf, dtype=jnp.int32), n_pts),
+            pt=jnp.tile(jnp.arange(n_pts, dtype=jnp.int32), n_kf),
+            uv=jnp.concatenate(uvs), inv_sigma2=jnp.ones(n_kf * n_pts),
+            valid=jnp.ones(n_kf * n_pts, bool), u_r=jnp.concatenate(urs))
+        return poses, pts, obs
+
+    def test_ba_recovers_scale(self):
+        poses, pts, obs = self._stereo_obs()
+        s = 1.2   # global scale drift: unobservable for mono, not stereo
+        res = local_ba.bundle_adjust(
+            poses.at[:, :3, 3].multiply(s), jnp.zeros(3, bool).at[0].set(True),
+            pts * s, obs, K, iters=15, bf=self.BF)
+        ratio = float(jnp.median(jnp.linalg.norm(res.points, axis=-1)
+                                 / jnp.linalg.norm(pts, axis=-1)))
+        assert abs(ratio - 1.0) < 0.02, ratio
+        # mono control: scale drift stays (gauge freedom)
+        res_m = local_ba.bundle_adjust(
+            poses.at[:, :3, 3].multiply(s), jnp.zeros(3, bool).at[0].set(True),
+            pts * s, obs._replace(u_r=None), K, iters=15)
+        ratio_m = float(jnp.median(jnp.linalg.norm(res_m.points, axis=-1)
+                                   / jnp.linalg.norm(pts, axis=-1)))
+        assert abs(ratio_m - s) < 0.05, ratio_m
+
+    def test_pose_opt_mixed_mono_stereo(self):
+        poses, pts, obs = self._stereo_obs(n_kf=2)
+        n = pts.shape[0]
+        uv = obs.uv[n:2 * n]
+        ur = jnp.where(jnp.arange(n) % 2 == 0, obs.u_r[n:2 * n], -1.0)
+        T0 = se3.exp(jnp.asarray([0.01, 0.0, 0.01, 0.05, 0.02, 0.1])) @ poses[1]
+        res = pose_opt.pose_optimization(T0, K, pts, uv, jnp.ones(n),
+                                         jnp.ones(n, bool), u_r=ur, bf=self.BF)
+        err = float(jnp.linalg.norm(se3.log(
+            se3.compose(res.pose, se3.inverse(poses[1])))))
+        assert err < 1e-3
+        assert int(res.n_inliers) == n
