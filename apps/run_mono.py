@@ -63,15 +63,17 @@ def main() -> None:
         slam = MonoSlam(c, enable_loop_closing=not args.no_loop_closing)
 
     n = 0
+    states = []
     if args.euroc:
         for item in seq_iter:
             with GLOBAL_TIMER.stage("frame"):
                 if args.inertial:
                     t, img, acc, gyro, dt = item
-                    slam.process_frame_imu(img, t, acc, gyro, dt)
+                    states.append(slam.process_frame_imu(img, t, acc,
+                                                         gyro, dt))
                 else:
                     t, img = item
-                    slam.process_frame(img, t)
+                    states.append(slam.process_frame(img, t))
             n += 1
     else:
         for i in range(seq.images.shape[0]):
@@ -80,12 +82,12 @@ def main() -> None:
                     dt = np.diff(seq.imu_t[i],
                                  prepend=seq.imu_t[i][0] - 1 / 200.0)
                     dt = np.where(seq.imu_t[i] > 0, np.maximum(dt, 0), 0)
-                    slam.process_frame_imu(seq.images[i],
-                                           float(seq.timestamps[i]),
-                                           seq.imu_acc[i], seq.imu_gyro[i], dt)
+                    states.append(slam.process_frame_imu(
+                        seq.images[i], float(seq.timestamps[i]),
+                        seq.imu_acc[i], seq.imu_gyro[i], dt))
                 else:
-                    slam.process_frame(seq.images[i],
-                                       float(seq.timestamps[i]))
+                    states.append(slam.process_frame(
+                        seq.images[i], float(seq.timestamps[i])))
             n += 1
     wall = time.perf_counter() - t_start
 
@@ -98,10 +100,14 @@ def main() -> None:
     report = {"frames": n, "fps": round(n / wall, 2), "stats": slam.stats,
               "timing": GLOBAL_TIMER.summary()}
     if gt is not None:
-        est = np.stack([T for _, T in slam.trajectory])
-        m = min(len(est), len(gt))
-        report["ate_rmse"] = round(ate.ate_rmse(
-            ate.camera_centers(est[:m]), ate.camera_centers(gt[:m])), 4)
+        # evaluate over OK-tracked frames; for inertial skip the pre-init
+        # segment (the IMU-init re-gauge makes pre/post incomparable)
+        from multi_orbslam3_tpu.eval.benchmarks import _ate_over_ok
+        skip = slam.stats.get("imu_init_frame", -1) + 2 \
+            if args.inertial else 0
+        acc = _ate_over_ok(slam.trajectory, states, gt, skip_head=skip)
+        if acc:
+            report.update(acc)
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))

@@ -97,9 +97,10 @@ class TrackingConfig:
     min_matches_motion: int = 20     # TrackWithMotionModel acceptance
     min_matches_refkf: int = 15
     min_matches_localmap: int = 30
-    kf_min_interval: int = 0         # min frames between KFs
+    kf_min_interval: int = 1         # min frames between KFs (mMinFrames)
     kf_max_interval: int = 20        # mMaxFrames ~ fps (NeedNewKeyFrame :2813)
-    kf_tracked_ratio: float = 0.9    # insert KF when tracked < ratio * ref
+    kf_tracked_ratio: float = 0.9    # insert KF when tracked decays below
+    # ratio * best-inliers-since-last-KF (thRefRatio analog)
     search_radius: float = 15.0      # projection search window (px)
     relost_timeout: int = 100        # frames in RECENTLY_LOST before LOST
 
@@ -126,6 +127,8 @@ class LoopConfig:
     sim3_min_inliers: int = 20
     pose_graph_iters: int = 20
     scale_gate: Tuple[float, float] = (0.9, 1.1)  # inertial merge gate (:95-118)
+    n_candidates: int = 3            # N-best candidate groups (DetectNBest)
+    min_proj_matches: int = 25       # guided-projection acceptance gate
 
 
 @dataclasses.dataclass(frozen=True)

@@ -199,19 +199,22 @@ def _add_imu(seq: SyntheticSequence, config, fps: float,
              pose_at) -> SyntheticSequence:
     """Generate body-frame gyro/accel by sampling the ANALYTIC trajectory
     at sensor rate (central differences at IMU dt — O(dt^2) accurate, so
-    preintegration residuals are tiny). Body frame = camera frame."""
+    preintegration residuals are tiny). The body frame is related to the
+    camera by config.imu.T_bc (reference include/ImuTypes.h:71 Tbc):
+    T_wb(t) = (T_bc @ T_cw(t))^-1."""
     imu_cfg = config.imu
     S = int(round(imu_cfg.rate_hz / fps))
     F = seq.T_cw.shape[0]
     g_w = np.array([0.0, 0.0, -imu_cfg.gravity])
     dt = 1.0 / imu_cfg.rate_hz
     frames_per_s = fps
+    T_bc = np.asarray(imu_cfg.T_bc, np.float64).reshape(4, 4)
     acc_list = np.zeros((F, S, 3), np.float32)
     gyr_list = np.zeros((F, S, 3), np.float32)
     t_list = np.zeros((F, S), np.float32)
 
     def T_wb_at(t_abs: float) -> np.ndarray:
-        return np.linalg.inv(pose_at(t_abs * frames_per_s))
+        return np.linalg.inv(T_bc @ pose_at(t_abs * frames_per_s))
 
     for i in range(1, F):
         t0 = seq.timestamps[i - 1]

@@ -27,7 +27,17 @@ BIG = jnp.int32(10_000)
 
 
 def hamming_matrix(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
-    """(N, 8) x (M, 8) packed uint32 -> (N, M) int32 Hamming distances."""
+    """(N, 8) x (M, 8) packed uint32 -> (N, M) int32 Hamming distances
+    (the reference's hot ORBmatcher::DescriptorDistance,
+    src/ORBmatcher.cc:2358).
+
+    Measured on TPU (round 2): this XLA formulation is OUTPUT-BANDWIDTH
+    bound and already at the roofline — 0.90 ms for 16384x1024 (64 MB
+    out) vs 1.23 ms for the best Pallas tiling (pallas_kernels.
+    hamming_matrix, 512x512 VMEM tiles) and 2.69 ms at 128x128 tiles.
+    XLA fuses xor+popcount+reduce into one HBM-write pass; a custom
+    kernel has nothing left to win, so the Pallas version is kept only
+    as a tested reference implementation."""
     x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 

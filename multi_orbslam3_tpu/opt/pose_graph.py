@@ -55,19 +55,32 @@ def _edge_residual(S_ij_flat, Si_flat, Sj_flat, di, dj):
                                  sim3.inverse(Si)))
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "yaw_only"))
+@functools.partial(jax.jit, static_argnames=("iters", "yaw_only", "solver",
+                                             "cg_iters"))
 def optimize_pose_graph(S_nodes: jnp.ndarray, fixed: jnp.ndarray,
                         edges: PoseGraphEdges, iters: int = 15,
                         fix_scale: bool | jnp.ndarray = False,
-                        yaw_only: bool = False) -> jnp.ndarray:
+                        yaw_only: bool = False, solver: str = "auto",
+                        cg_iters: int = 60) -> jnp.ndarray:
     """S_nodes: (K, 13) packed Sim3; fixed: (K,) bool.
 
     fix_scale: freeze the scale DoF (6-DoF mode, stereo/RGBD maps).
     yaw_only: additionally freeze roll/pitch (the reference's 4-DoF
     inertial pose graph, Optimizer::OptimizeEssentialGraph4DoF) — gravity
     direction is observable with an IMU so only yaw + translation float.
+
+    solver: "dense" materializes H (K*7)^2 and Cholesky-solves — right for
+    client-scale maps (K<=512 -> 3584^2, MXU territory). "cg" never
+    materializes H: per-edge 7x7 blocks + scatter-add matvec inside a
+    block-Jacobi-preconditioned conjugate-gradient loop — the server
+    arena at 2048+ slots would need an 822 MB dense Hessian (the
+    reference's g2o is sparse for the same reason, Optimizer.cc:2413
+    operates on spanning tree + covisibility edges only). "auto" picks
+    cg when K*7 > 4096.
     """
     K = S_nodes.shape[0]
+    if solver == "auto":
+        solver = "cg" if K * 7 > 4096 else "dense"
     zero = jnp.zeros(7)
 
     # DoF mask over (omega_x, omega_y, omega_z, v, sigma)
@@ -93,28 +106,83 @@ def optimize_pose_graph(S_nodes: jnp.ndarray, fixed: jnp.ndarray,
         w = jnp.where(edges.valid, edges.weight, 0.0)
         Jiw = Ji * w[:, None, None]
         Jjw = Jj * w[:, None, None]
-        H = jnp.zeros((K, 7, K, 7))
-        H = H.at[edges.i, :, edges.i, :].add(
-            jnp.einsum("eri,erj->eij", Ji, Jiw))
-        H = H.at[edges.j, :, edges.j, :].add(
-            jnp.einsum("eri,erj->eij", Jj, Jjw))
-        H = H.at[edges.i, :, edges.j, :].add(
-            jnp.einsum("eri,erj->eij", Ji, Jjw))
-        H = H.at[edges.j, :, edges.i, :].add(
-            jnp.einsum("eri,erj->eij", Jj, Jiw))
+        free = (~fixed).astype(jnp.float32)[:, None] * dof[None, :]  # (K,7)
         b = jnp.zeros((K, 7))
         b = b.at[edges.i].add(jnp.einsum("eri,er->ei", Jiw, r))
         b = b.at[edges.j].add(jnp.einsum("eri,er->ei", Jjw, r))
+        bf = b * free
 
-        # clamp fixed nodes and disabled DoFs
-        free = (~fixed).astype(jnp.float32)[:, None] * dof[None, :]  # (K,7)
-        H = H * free[:, :, None, None] * free[None, None, :, :]
-        Hf = H.reshape(K * 7, K * 7)
-        ff = free.reshape(-1)
-        Hf = Hf + jnp.diag(jnp.where(ff > 0, 1e-6, 1.0))
-        Hf = Hf + 1e-5 * jnp.diag(jnp.diag(Hf))
-        bf = (b * free).reshape(-1)
-        d = jnp.linalg.solve(Hf, -bf).reshape(K, 7) * free
+        if solver == "dense":
+            H = jnp.zeros((K, 7, K, 7))
+            H = H.at[edges.i, :, edges.i, :].add(
+                jnp.einsum("eri,erj->eij", Ji, Jiw))
+            H = H.at[edges.j, :, edges.j, :].add(
+                jnp.einsum("eri,erj->eij", Jj, Jjw))
+            H = H.at[edges.i, :, edges.j, :].add(
+                jnp.einsum("eri,erj->eij", Ji, Jjw))
+            H = H.at[edges.j, :, edges.i, :].add(
+                jnp.einsum("eri,erj->eij", Jj, Jiw))
+            # clamp fixed nodes and disabled DoFs
+            H = H * free[:, :, None, None] * free[None, None, :, :]
+            Hf = H.reshape(K * 7, K * 7)
+            ff = free.reshape(-1)
+            Hf = Hf + jnp.diag(jnp.where(ff > 0, 1e-6, 1.0))
+            Hf = Hf + 1e-5 * jnp.diag(jnp.diag(Hf))
+            d = jnp.linalg.solve(Hf, -bf.reshape(-1)).reshape(K, 7) * free
+        else:
+            # block-sparse PCG: per-edge 7x7 blocks, scatter-add matvec
+            Hii = jnp.einsum("eri,erj->eij", Ji, Jiw)      # (E, 7, 7)
+            Hjj = jnp.einsum("eri,erj->eij", Jj, Jjw)
+            Hij = jnp.einsum("eri,erj->eij", Ji, Jjw)
+            Hji = jnp.einsum("eri,erj->eij", Jj, Jiw)
+            # block-Jacobi preconditioner from the node diagonal blocks
+            D = jnp.zeros((K, 7, 7)).at[edges.i].add(Hii)
+            D = D.at[edges.j].add(Hjj)
+            D = D * free[:, :, None] * free[:, None, :]
+            diag = jnp.diagonal(D, axis1=-2, axis2=-1)
+            D = D + jax.vmap(jnp.diag)(
+                1e-5 * diag + jnp.where(free > 0, 1e-6, 1.0))
+            D_inv = jnp.linalg.inv(D)
+
+            def matvec(x):                                  # x: (K, 7)
+                xm = x * free
+                xi = xm[edges.i]
+                xj = xm[edges.j]
+                y = jnp.zeros((K, 7))
+                y = y.at[edges.i].add(
+                    jnp.einsum("eij,ej->ei", Hii, xi)
+                    + jnp.einsum("eij,ej->ei", Hij, xj))
+                y = y.at[edges.j].add(
+                    jnp.einsum("eij,ej->ei", Hjj, xj)
+                    + jnp.einsum("eij,ej->ei", Hji, xi))
+                y = y * free
+                # damping + identity on clamped dims keeps PD
+                return y + 1e-5 * (jnp.abs(diag) + 1.0) * xm \
+                    + jnp.where(free > 0, 0.0, 1.0) * x
+
+            rhs = -bf
+
+            def prec(x):
+                return jnp.einsum("kij,kj->ki", D_inv, x)
+
+            def cg_body(_, st):
+                x, rr, p, rz = st
+                Ap = matvec(p)
+                denom = jnp.sum(p * Ap)
+                alpha = rz / jnp.maximum(denom, 1e-20)
+                x = x + alpha * p
+                rr = rr - alpha * Ap
+                z = prec(rr)
+                rz_new = jnp.sum(rr * z)
+                beta = rz_new / jnp.maximum(rz, 1e-20)
+                return x, rr, z + beta * p, rz_new
+
+            x0 = jnp.zeros((K, 7))
+            r0 = rhs
+            z0 = prec(r0)
+            x, _, _, _ = jax.lax.fori_loop(
+                0, cg_iters, cg_body, (x0, r0, z0, jnp.sum(r0 * z0)))
+            d = x * free
         d = jnp.where(jnp.isfinite(d), d, 0.0)
         return sim3.stack(sim3.retract(sim3.unstack(S_cur), d))
 

@@ -2,18 +2,26 @@
 
 Extends MonoSlam with the reference's visual-inertial machinery
 (Tracking::PreintegrateIMU/PredictStateIMU src/Tracking.cc:1231/:1363,
-LocalMapping::InitializeIMU + staged VIBA1/VIBA2 src/LocalMapping.cc:
-1390-1585, Map::ApplyScaledRotation src/Map.cc:438-496):
+PoseInertialOptimizationLastFrame/LastKeyFrame src/Optimizer.cc:7998/
+:7603, LocalMapping::InitializeIMU + staged VIBA1/VIBA2
+src/LocalMapping.cc:1390-1585, Map::ApplyScaledRotation src/Map.cc:
+438-496):
 
 - IMU samples between frames are preintegrated (fixed-cap windows) and
   accumulated per keyframe interval;
+- camera-IMU extrinsics T_bc (reference include/ImuTypes.h:71,111) are
+  threaded through prediction, per-frame optimization, inertial
+  initialization and the window BA — the body pose is
+  T_wb = (T_bc o T_cw)^-1 everywhere;
 - after enough keyframes + integration time, inertial initialization
   estimates gravity/scale/bias; the whole map is re-gauged so gravity is
   world -z and scale is metric (the ApplyScaledRotation analog), after
   which ``inertial_ready`` gates collaborative uplink exactly like the
   reference's GetInertialBA1 gate (Atlas.cc:134,155);
 - tracking prediction switches from the constant-velocity model to IMU
-  state propagation;
+  state propagation, and EVERY tracked frame runs the visual-inertial
+  pose optimization (preintegration factor + bias random-walk prior
+  fused with the reprojection residuals);
 - keyframe-window BA switches to the visual-inertial solver.
 """
 
@@ -29,7 +37,7 @@ from multi_orbslam3_tpu.config import SystemConfig
 from multi_orbslam3_tpu.geometry import se3, sim3, so3
 from multi_orbslam3_tpu.imu import preintegration as pre
 from multi_orbslam3_tpu.map import mapstate as ms
-from multi_orbslam3_tpu.opt import inertial_ba, inertial_init
+from multi_orbslam3_tpu.opt import inertial_ba, inertial_init, vi_pose_opt
 from multi_orbslam3_tpu.opt.local_ba import BAObservations
 from multi_orbslam3_tpu.pipeline.system import MonoSlam, TrackState
 from multi_orbslam3_tpu.pipeline.tracking import level_inv_sigma2
@@ -40,6 +48,7 @@ class MonoInertialSlam(MonoSlam):
                  enable_loop_closing: bool = True, vocabulary=None):
         super().__init__(config, agent_id, enable_loop_closing, vocabulary)
         self.calib = pre.ImuCalib.from_config(config.imu)
+        self.T_bc = np.asarray(self.calib.T_bc, np.float32).reshape(4, 4)
         self.g_w = np.array([0.0, 0.0, -config.imu.gravity], np.float32)
         self.imu_initialized = False
         self.inertial_ready = False          # VIBA1 gate for uplink
@@ -51,13 +60,38 @@ class MonoInertialSlam(MonoSlam):
         self.kf_velocity = np.zeros((mk, 3), np.float32)
         self.kf_preint: List[Optional[pre.Preintegrated]] = [None] * mk
         self._accum: Optional[pre.Preintegrated] = None   # since last KF
+        # VI pose-opt anchoring: state at the last tracked frame + the
+        # preintegration accumulated since it (survives RECENTLY_LOST gaps)
+        self._prev_state = None              # (T_cw, v, bg, ba)
+        self._since_prev: Optional[pre.Preintegrated] = None
         # scale observability needs integration time + excitation: wait for
         # a long-enough KF chain (the reference stages VIBA1 at ~2-3 s and
         # refines at ~6 s, src/LocalMapping.cc:272-304)
-        self._init_kf_count = 20
+        self._init_kf_count = 8
         self._min_init_time = 2.0
         self._refine_time = 4.0              # VIBA2-analog refinement
         self._refined = False
+
+    # ------------------------------------------------------------------
+    def _need_keyframe(self, n_inliers: int) -> bool:
+        # pre-init cadence: the reference inserts a keyframe every
+        # 0.25-0.5 s while the IMU is uninitialized (Tracking::
+        # NeedNewKeyFrame inertial branch) — temporal density is what
+        # makes gravity/scale observable
+        if not self.imu_initialized and n_inliers > 15 and \
+                self.frames_since_kf >= max(
+                    1, int(round(0.2 * self.cfg.camera.fps))):
+            return True
+        return super()._need_keyframe(n_inliers)
+
+    # ------------------------------------------------------------------
+    def _T_wb(self, T_cw: np.ndarray) -> np.ndarray:
+        """World-from-body pose for a camera pose: T_wb = (T_bc T_cw)^-1."""
+        return np.linalg.inv(self.T_bc @ T_cw).astype(np.float32)
+
+    def _T_cw_from_wb(self, T_wb: np.ndarray) -> np.ndarray:
+        return (np.linalg.inv(self.T_bc) @
+                np.linalg.inv(T_wb)).astype(np.float32)
 
     # ------------------------------------------------------------------
     def process_frame_imu(self, img: np.ndarray, timestamp: float,
@@ -74,40 +108,86 @@ class MonoInertialSlam(MonoSlam):
             jnp.asarray(self.bg), jnp.asarray(self.ba_bias), self.calib)
         self._accum = window if self._accum is None else \
             pre.merge_preintegrated(self._accum, window)
+        self._since_prev = window if self._since_prev is None else \
+            pre.merge_preintegrated(self._since_prev, window)
         self._frame_window = window
         return self.process_frame(img, timestamp)
 
     # ------------------------------------------------------------------
     def _pre_track(self, ts: float) -> None:
-        self._prev_center = -self.T_cur[:3, :3].T @ self.T_cur[:3, 3]
-        if self.imu_initialized:
-            # IMU prediction replaces the constant-velocity model
-            T_wb = np.linalg.inv(self.T_cur)     # T_bc = I assumed here
+        if self.imu_initialized and self._since_prev is not None:
+            # IMU prediction replaces the constant-velocity model; the
+            # window spans the time since the last TRACKED frame so a
+            # RECENTLY_LOST gap still propagates correctly
+            T_wb = self._T_wb(self.T_cur)
             R2, v2, p2 = pre.predict_state(
                 jnp.asarray(T_wb[:3, :3]), jnp.asarray(self.v_cur),
-                jnp.asarray(T_wb[:3, 3]), self._frame_window,
+                jnp.asarray(T_wb[:3, 3]), self._since_prev,
                 jnp.asarray(self.g_w), jnp.asarray(self.bg),
                 jnp.asarray(self.ba_bias))
             T_wb2 = np.eye(4, dtype=np.float32)
             T_wb2[:3, :3] = np.asarray(R2)
             T_wb2[:3, 3] = np.asarray(p2)
-            T_pred = np.linalg.inv(T_wb2).astype(np.float32)
+            T_pred = self._T_cw_from_wb(T_wb2)
             self.v_cur = np.asarray(v2)
             # feed the motion model with the IMU prediction
             self.T_vel = (T_pred @ np.linalg.inv(self.T_cur)).astype(
                 np.float32)
 
+    # ------------------------------------------------------------------
+    def _refine_pose(self, feats, res):
+        """Per-frame visual-inertial pose optimization (reference
+        Optimizer::PoseInertialOptimizationLastFrame, src/Optimizer.cc:
+        7998): fuse the preintegration factor from the last tracked
+        frame's state with the frame's reprojection residuals."""
+        if not self.imu_initialized or self._prev_state is None \
+                or self._since_prev is None:
+            return res
+        T_prev, v_prev, bg_prev, ba_prev = self._prev_state
+        feat_mp = res.feat_mp
+        mp_safe = jnp.where(feat_mp >= 0, feat_mp, 0)
+        out = vi_pose_opt.pose_inertial_optimization(
+            res.pose, jnp.asarray(self.v_cur), jnp.asarray(bg_prev),
+            jnp.asarray(ba_prev), jnp.asarray(T_prev), jnp.asarray(v_prev),
+            jnp.asarray(bg_prev), jnp.asarray(ba_prev), self._since_prev,
+            self.K, self.m.mp_pos[mp_safe], feats.uv_und,
+            level_inv_sigma2(feats.level, self.cfg.orb.scale_factor),
+            (feat_mp >= 0) & feats.valid,
+            jnp.asarray(self.g_w), jnp.asarray(self.T_bc),
+            gyro_walk2=float(self.calib.gyro_walk2),
+            acc_walk2=float(self.calib.acc_walk2))
+        n_in = int(out.n_inliers)
+        pose = np.asarray(out.pose)
+        if n_in < self.cfg.tracking.min_matches_refkf or \
+                not np.all(np.isfinite(pose)):
+            return res
+        self.v_cur = np.asarray(out.velocity)
+        self.bg = np.asarray(out.bg)
+        self.ba_bias = np.asarray(out.ba)
+        from multi_orbslam3_tpu.pipeline.tracking import TrackResult
+        return TrackResult(
+            pose=out.pose, feat_mp=jnp.where(out.inliers, feat_mp, ms.NO_MP),
+            n_inliers=out.n_inliers, n_matches=res.n_matches,
+            visible=res.visible)
+
     def _post_track(self, ts: float) -> None:
-        # visual velocity correction: IMU-propagated velocity drifts with
-        # bias error between keyframes; re-anchor it to the tracked motion
-        # (the reference refreshes mVw from UpdateFrameIMU / pose updates)
-        prev_ts = getattr(self, "_last_ts", None)
-        if self.imu_initialized and self.state == TrackState.OK \
-                and prev_ts is not None and ts > prev_ts:
-            center = -self.T_cur[:3, :3].T @ self.T_cur[:3, 3]
-            v_fd = (center - self._prev_center) / (ts - prev_ts)
-            self.v_cur = (0.5 * self.v_cur + 0.5 * v_fd).astype(np.float32)
-        self._last_ts = ts
+        if self.state == TrackState.OK:
+            if self.imu_initialized and self._prev_state is None:
+                # first OK frame after init / gauge change: re-anchor the
+                # velocity from body-position finite differences
+                prev_ts = getattr(self, "_last_ok_ts", None)
+                prev_T = getattr(self, "_last_ok_T", None)
+                if prev_ts is not None and ts > prev_ts:
+                    p0 = self._T_wb(prev_T)[:3, 3]
+                    p1 = self._T_wb(self.T_cur)[:3, 3]
+                    self.v_cur = ((p1 - p0) / (ts - prev_ts)).astype(
+                        np.float32)
+            # anchor the next frame's VI optimization on this state
+            self._prev_state = (self.T_cur.copy(), self.v_cur.copy(),
+                                self.bg.copy(), self.ba_bias.copy())
+            self._since_prev = None
+            self._last_ok_ts = ts
+            self._last_ok_T = self.T_cur.copy()
 
     # ------------------------------------------------------------------
     def _try_initialize(self, feats, ts):
@@ -152,9 +232,9 @@ class MonoInertialSlam(MonoSlam):
         total_t = float(sum(float(p.dT) for p in preints))
         if not refine and total_t < self._min_init_time:
             return
-        # body poses from camera poses (T_bc = I)
+        # body poses from camera poses through the extrinsics
         T_cw = np.array(self.m.kf_pose[:n])
-        T_wb = np.linalg.inv(T_cw)
+        T_wb = np.stack([self._T_wb(T) for T in T_cw])
         stacked = jax.tree_util.tree_map(
             lambda *x: jnp.stack(x), *([pre.empty_preintegrated()] + preints))
         res = inertial_init.inertial_init(
@@ -180,6 +260,7 @@ class MonoInertialSlam(MonoSlam):
         self.imu_initialized = True
         self.inertial_ready = True          # VIBA1-passed gate
         self.stats["imu_init_scale"] = s
+        self.stats.setdefault("imu_init_frame", self.frame_id)
         self._inertial_window_ba(n - 1)
 
     def _apply_map_gauge(self, S: sim3.Sim3):
@@ -200,6 +281,9 @@ class MonoInertialSlam(MonoSlam):
             kf_pose=jnp.where(m.kf_valid[:, None, None], new_pose,
                               m.kf_pose))
         self.T_cur = np.array(self.m.kf_pose[self.ref_kf])
+        # the VI anchor state is now in the old gauge — drop it; the next
+        # tracked frame re-establishes it
+        self._prev_state = None
 
     # ------------------------------------------------------------------
     def _inertial_window_ba(self, k_last: int, window: int = 8,
@@ -256,7 +340,9 @@ class MonoInertialSlam(MonoSlam):
             jnp.tile(jnp.asarray(self.ba_bias), (Kw, 1)),
             fixed, m.mp_pos[jnp.where(pt_ok, uniq, 0)], obs, stacked,
             jnp.asarray(pair_valid), self.K, jnp.asarray(self.g_w),
-            se3.identity(), iters=6)
+            jnp.asarray(self.T_bc), iters=6,
+            gyro_walk2=float(self.calib.gyro_walk2),
+            acc_walk2=float(self.calib.acc_walk2))
         # write back
         kf_pose_ext = jnp.concatenate([m.kf_pose, jnp.zeros((1, 4, 4))], 0)
         kf_pose = kf_pose_ext.at[sl].set(res.poses)[:m.max_kf]
@@ -269,6 +355,10 @@ class MonoInertialSlam(MonoSlam):
         self.ba_bias = np.asarray(res.ba[-1])
         self.v_cur = self.kf_velocity[k_last]
         self.T_cur = np.array(self.m.kf_pose[k_last])
+        # refresh the VI anchor with the BA-refined state
+        if self._prev_state is not None:
+            self._prev_state = (self.T_cur.copy(), self.v_cur.copy(),
+                                self.bg.copy(), self.ba_bias.copy())
 
 
 def _pad_to(x: np.ndarray, n: int) -> np.ndarray:

@@ -38,6 +38,13 @@ def triangulate_with_neighbor(m: MapState, kf_new, kf_nbr,
     (reference CreateNewMapPoints, src/LocalMapping.cc:520): mutual
     descriptor match restricted by the epipolar constraint of the known
     relative pose, then checked DLT triangulation."""
+    return _triangulate_pair(m, kf_new, kf_nbr, K, jnp.bool_(True))
+
+
+def _triangulate_pair(m: MapState, kf_new, kf_nbr, K: cam.PinholeK,
+                      enable) -> TriangulationOut:
+    """Triangulation body; `enable=False` makes it a no-op (used by the
+    fused neighbor scan in process_new_keyframe)."""
     free_new = m.kf_feat_valid[kf_new] & (m.kf_mp[kf_new] == NO_MP)
     free_nbr = m.kf_feat_valid[kf_nbr] & (m.kf_mp[kf_nbr] == NO_MP)
     res = matcher.match_mutual(
@@ -67,11 +74,60 @@ def triangulate_with_neighbor(m: MapState, kf_new, kf_nbr,
     p, tri_ok = triangulation.triangulate_and_check(
         jnp.broadcast_to(T_new, (N, 4, 4)), jnp.broadcast_to(T_nbr, (N, 4, 4)),
         b_new, b_nbr, K, uv_new, uv_nbr)
-    ok = (res.idx >= 0) & epi_ok & tri_ok
+    ok = (res.idx >= 0) & epi_ok & tri_ok & enable
     m2, slots = ms.add_mappoints(
         m, p, ok, m.kf_desc[kf_new], kf_new, kf_new,
         jnp.arange(N, dtype=jnp.int32), kf_nbr, idx_safe)
     return TriangulationOut(map=m2, n_created=jnp.sum(ok.astype(jnp.int32)))
+
+
+class KFProcessOut(NamedTuple):
+    map: MapState
+    n_created: jnp.ndarray
+    n_fused: jnp.ndarray
+    neighbors: jnp.ndarray   # (n_neighbors,) covisible KFs used
+    neighbor_ok: jnp.ndarray
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_neighbors", "width", "height",
+                                    "scale_factor", "n_levels"))
+def process_new_keyframe(m: MapState, kf_new, K: cam.PinholeK, *,
+                         n_neighbors: int = 8, width: int, height: int,
+                         scale_factor: float = 1.2, n_levels: int = 8,
+                         min_covis: int = 10) -> KFProcessOut:
+    """Fused per-keyframe mapping stage in ONE compiled program: neighbor
+    selection (top-k covisibility) -> epipolar triangulation against each
+    neighbor (lax.scan over the fixed neighbor budget) -> duplicate fusion
+    -> landmark statistics refresh. Replaces the host loop that issued
+    ~10 separate device programs (+ host syncs) per keyframe — on a
+    tunneled TPU the dispatch round-trips dominated the mapping cost.
+    (Reference: LocalMapping::CreateNewMapPoints + SearchInNeighbors +
+    MapPoint stat updates, src/LocalMapping.cc:520,868.)"""
+    covis = ms.covisibility_row(m, kf_new)
+    covis = jnp.where(m.kf_valid, covis, -1)
+    covis = covis.at[kf_new].set(-1)
+    vals, nbrs = jax.lax.top_k(covis, n_neighbors)
+    nbr_ok = vals >= min_covis
+
+    def body(carry, x):
+        m_c, total = carry
+        nbr, ok = x
+        out = _triangulate_pair(m_c, kf_new, nbr, K, ok)
+        return (out.map, total + out.n_created), None
+
+    (m, n_created), _ = jax.lax.scan(
+        body, (m, jnp.int32(0)), (nbrs.astype(jnp.int32), nbr_ok))
+    fuse = fuse_into_keyframe(m, kf_new, K, width=width, height=height,
+                              scale_factor=scale_factor, n_levels=n_levels)
+    m = fuse.map
+    win = jnp.concatenate([jnp.asarray(kf_new, jnp.int32)[None],
+                           nbrs.astype(jnp.int32)])
+    win_ok = jnp.concatenate([jnp.ones(1, bool), nbr_ok])
+    m = ms.refresh_point_stats(m, win, win_ok, scale_factor=scale_factor,
+                               n_levels=n_levels)
+    return KFProcessOut(map=m, n_created=n_created, n_fused=fuse.n_fused,
+                        neighbors=nbrs.astype(jnp.int32), neighbor_ok=nbr_ok)
 
 
 class FuseOut(NamedTuple):

@@ -40,9 +40,11 @@ from multi_orbslam3_tpu.opt import pose_graph, sim3_solve
 class LoopMatch(NamedTuple):
     """Landmark correspondences between the current KF region and the
     candidate KF region."""
-    cur_mp: jnp.ndarray    # (N,) current-side landmark slots (-1 invalid)
-    cand_mp: jnp.ndarray   # (N,) candidate-side landmark slots
-    valid: jnp.ndarray     # (N,) bool
+    cur_mp: jnp.ndarray      # (N,) current-side landmark slots (-1 invalid)
+    cand_mp: jnp.ndarray     # (N,) candidate-side landmark slots
+    valid: jnp.ndarray       # (N,) bool
+    cur_region: jnp.ndarray  # (P,) bool current-side region landmark mask
+    cand_region: jnp.ndarray  # (P,) bool candidate-side region mask
 
 
 @jax.jit
@@ -71,7 +73,8 @@ def match_loop_landmarks(m: MapState, kf_cur, kf_cand) -> LoopMatch:
     valid = res.idx >= 0
     return LoopMatch(
         cur_mp=jnp.where(valid, jnp.arange(P, dtype=jnp.int32), -1),
-        cand_mp=jnp.where(valid, res.idx, -1), valid=valid)
+        cand_mp=jnp.where(valid, res.idx, -1), valid=valid,
+        cur_region=mp_cur, cand_region=mp_cand)
 
 
 @functools.partial(jax.jit, static_argnames=("fix_scale",))
@@ -95,6 +98,157 @@ def verify_loop(m: MapState, lm: LoopMatch, key,
     return sim3_solve.sim3_ransac(p_cand, p_cur, lm.valid, key,
                                   n_hyp=128, inlier_th=th,
                                   min_inliers=12, fix_scale=fix_scale)
+
+
+@jax.jit
+def _pair_observations(m: MapState, kf, mp_idx: jnp.ndarray):
+    """Per-pair 2D observation of landmark mp_idx in keyframe kf:
+    (uv (N,2), inv_sigma2 (N,), has (N,)). Landmarks not associated to a
+    feature of kf get has=False."""
+    row = m.kf_mp[kf]                                  # (N,) mp per feature
+    N = row.shape[0]
+    lut = jnp.full((m.max_mp + 1,), -1, jnp.int32)
+    lut = lut.at[jnp.where(row >= 0, row, m.max_mp)].set(
+        jnp.arange(N, dtype=jnp.int32))
+    fi = lut[jnp.where(mp_idx >= 0, mp_idx, m.max_mp)]
+    has = (fi >= 0) & (mp_idx >= 0)
+    fi_s = jnp.where(has, fi, 0)
+    uv = m.kf_uv[kf, fi_s]
+    lv = m.kf_level[kf, fi_s].astype(jnp.float32)
+    inv_s2 = jnp.power(jnp.float32(1.2), -2.0 * lv)
+    return uv, inv_s2, has
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height",
+                                             "scale_factor", "n_levels"))
+def guided_projection_count(m: MapState, kf_cur, S: sim3.Sim3,
+                            cand_region: jnp.ndarray, K: cam.PinholeK,
+                            *, width: int, height: int,
+                            scale_factor: float = 1.2, n_levels: int = 8,
+                            radius: float = 8.0):
+    """Guided re-verification (reference LoopClosing::
+    FindMatchesByProjection + SearchByProjection re-check, LoopClosing.cc:
+    999): project the candidate region's landmarks into the current KF at
+    its Sim3-CORRECTED pose and count descriptor matches."""
+    from multi_orbslam3_tpu.pipeline.tracking import _predict_levels
+    S_cur = sim3.from_se3(m.kf_pose[kf_cur])
+    S_corr = sim3.compose(S_cur, S)
+    T = se3.make(S_corr.R, S_corr.t / S_corr.s)
+    p_c = se3.apply(T[None], m.mp_pos)
+    uv_proj = cam.project(K, p_c)
+    ok = cand_region & m.mp_valid & (p_c[..., 2] > 0.05) & \
+        cam.in_image(uv_proj, width, height)
+    cam_center = -jnp.einsum("ji,j->i", T[:3, :3], T[:3, 3])
+    pred_lv = _predict_levels(m, cam_center, scale_factor, n_levels)
+    r = radius * jnp.power(jnp.float32(scale_factor),
+                           pred_lv.astype(jnp.float32))
+    # level gating is disabled (slack = n_levels): across a loop the map
+    # carries accumulated scale drift, so scale predictions are unreliable
+    # — the descriptor distance + radius carry the verification
+    res = matcher.match_by_projection(
+        uv_proj, ok, m.mp_desc, m.kf_uv[kf_cur], m.kf_feat_valid[kf_cur],
+        m.kf_desc[kf_cur], m.kf_level[kf_cur], r, pred_lv,
+        max_dist=matcher.TH_HIGH, ratio=0.9, level_slack=n_levels)
+    res = matcher.resolve_duplicate_targets(res, m.kf_uv.shape[1])
+    return jnp.sum((res.idx >= 0).astype(jnp.int32))
+
+
+class CascadeResult(NamedTuple):
+    ok: bool
+    S: Optional[sim3.Sim3]      # p_cur ~ S(p_cand)
+    lm: Optional[LoopMatch]
+    inliers: Optional[jnp.ndarray]
+    n_proj: int
+
+
+def verify_candidate_cascade(m: MapState, kf_cur: int, kf_cand: int,
+                             key, K: cam.PinholeK, *, width: int,
+                             height: int, scale_factor: float = 1.2,
+                             n_levels: int = 8, fix_scale: bool = False,
+                             min_proj_matches: int = 25) -> CascadeResult:
+    """Full geometric verification cascade (reference
+    DetectCommonRegionsFromBoW, src/LoopClosing.cc:580): 3D-3D Sim3 RANSAC
+    seed -> reprojection-space OptimizeSim3 refinement (Optimizer.cc:4031)
+    -> guided projection re-check against the current KF's features. Host
+    decisions between jitted stages (loop-rate, not frame-rate)."""
+    lm = match_loop_landmarks(m, jnp.int32(kf_cur), jnp.int32(kf_cand))
+    res = verify_loop(m, lm, key, fix_scale=fix_scale)
+    if not bool(res.ok):
+        return CascadeResult(False, None, lm, None, 0)
+    # reprojection refinement over pairs with a 2D observation in either KF
+    pair_ok = lm.valid & res.inliers
+    cur_safe = jnp.where(pair_ok, lm.cur_mp, 0)
+    cand_safe = jnp.where(pair_ok, lm.cand_mp, 0)
+    p_cand = m.mp_pos[cand_safe]
+    p_cur = m.mp_pos[cur_safe]
+    uv_cur, is2_cur, has_cur = _pair_observations(
+        m, jnp.int32(kf_cur), jnp.where(pair_ok, lm.cur_mp, -1))
+    uv_cand, is2_cand, has_cand = _pair_observations(
+        m, jnp.int32(kf_cand), jnp.where(pair_ok, lm.cand_mp, -1))
+    S_ref, inl_f, inl_b = sim3_solve.optimize_sim3_reprojection(
+        res.S, K, m.kf_pose[jnp.int32(kf_cur)],
+        m.kf_pose[jnp.int32(kf_cand)], p_cand, uv_cur, has_cur,
+        p_cur, uv_cand, has_cand, is2_cur, is2_cand,
+        fix_scale=fix_scale)
+    # fall back to the 3D-3D estimate when too few pairs have 2D obs
+    n_2d = int(jnp.sum(has_cur | has_cand))
+    S_final = S_ref if n_2d >= 10 else res.S
+    # guided projection re-check at the refined Sim3
+    n_proj = int(guided_projection_count(
+        m, jnp.int32(kf_cur), S_final, lm.cand_region, K,
+        width=width, height=height, scale_factor=scale_factor,
+        n_levels=n_levels))
+    if n_proj < min_proj_matches:
+        return CascadeResult(False, S_final, lm, res.inliers, n_proj)
+    return CascadeResult(True, S_final, lm, res.inliers, n_proj)
+
+
+def nbest_candidates(m: MapState, scores_np: np.ndarray,
+                     n_best: int = 3, min_score: float = 0.03):
+    """Covisibility-group accumulated N-best candidate selection
+    (reference KeyFrameDatabase::DetectNBestCandidates,
+    src/KeyFrameDatabase.cc:594-763): each raw candidate's score is
+    summed over its covisible group; groups are deduped greedily and each
+    contributes its best-scoring member."""
+    order = np.argsort(-scores_np)[:8]
+    cands = []
+    used = np.zeros(scores_np.shape[0], bool)
+    for k in order:
+        if scores_np[k] < min_score or used[k]:
+            continue
+        covis = np.array(ms.covisibility_row(m, jnp.int32(int(k))))
+        grp = (covis > 0)
+        grp[k] = True
+        acc = float(scores_np[grp].sum())
+        rep = int(np.argmax(np.where(grp, scores_np, -1.0)))
+        cands.append((rep, acc, grp))
+        used |= grp
+        if len(cands) >= n_best:
+            break
+    cands.sort(key=lambda c: -c[1])
+    return cands
+
+
+def weld_after_merge(m: MapState, kf_cur: int, K: cam.PinholeK, *,
+                     width: int, height: int, scale_factor: float = 1.2,
+                     n_levels: int = 8, n_points: int = 4096,
+                     bf: float = 0.0) -> MapState:
+    """Welding BA after a loop/merge correction (reference MergeInertialBA
+    / MergeBundleAdjustmentVisual + windowed SearchAndFuse,
+    src/LoopClosing.cc:2391,2477, src/Optimizer.cc:6986,5961): fuse
+    duplicate landmarks into the seam keyframe, then run a local BA
+    centered on it — post-fusion covisibility spans both sides of the
+    seam, so the window covers the weld."""
+    from multi_orbslam3_tpu.pipeline import local_mapping
+    fuse = local_mapping.fuse_into_keyframe(
+        m, jnp.int32(kf_cur), K, width=width, height=height,
+        scale_factor=scale_factor, n_levels=n_levels)
+    m = fuse.map
+    out = local_mapping.local_bundle_adjustment(
+        m, jnp.int32(kf_cur), K, n_window=16, n_fixed=8,
+        n_points=min(n_points, m.max_mp), scale_factor=scale_factor,
+        iters=8, bf=bf)
+    return out.map
 
 
 @functools.partial(jax.jit, static_argnames=("max_covis_edges", "iters",
@@ -188,9 +342,14 @@ class LoopCloser:
         self.loops_closed = 0
 
     def on_keyframe(self, m: MapState, kf: int,
-                    fix_scale: bool = False) -> MapState:
-        """Process a freshly inserted keyframe: query, verify, correct.
-        Returns the (possibly corrected) map."""
+                    fix_scale: bool = False,
+                    K: Optional[cam.PinholeK] = None,
+                    width: int = 0, height: int = 0,
+                    scale_factor: float = 1.2, n_levels: int = 8,
+                    min_proj_matches: int = 25) -> MapState:
+        """Process a freshly inserted keyframe: N-best grouped candidates,
+        temporal consistency, full verification cascade, correction +
+        welding BA. Returns the (possibly corrected) map."""
         kf_j = jnp.int32(kf)
         desc = m.kf_desc[kf_j]
         fvalid = m.kf_feat_valid[kf_j]
@@ -202,8 +361,9 @@ class LoopCloser:
         scores = dbm.query(self.db, self.voc, desc, fvalid, exclude)
         self.db, _ = dbm.add_keyframe_bow(self.db, self.voc, kf_j, desc,
                                           fvalid)
-        best = int(jnp.argmax(scores))
-        best_score = float(scores[best])
+        scores_np = np.array(scores)
+        best = int(np.argmax(scores_np))
+        best_score = float(scores_np[best])
 
         if kf - self._last_loop_kf < self.min_interval_kfs or \
                 best_score < self.min_score:
@@ -223,33 +383,61 @@ class LoopCloser:
         if self._streak < self.consistency_hits:
             return m
 
-        # geometric verification
-        lm = match_loop_landmarks(m, kf_j, jnp.int32(best))
-        self._key, sub = jax.random.split(self._key)
-        res = verify_loop(m, lm, sub, fix_scale=fix_scale)
-        if not bool(res.ok):
-            return m
-
-        # candidate in another sub-map => Atlas merge: weld the active
-        # sub-map into the candidate's map before distributing the
-        # correction (reference LoopClosing::MergeLocal, LoopClosing.cc:1316)
-        cand_map = int(m.kf_map_id[best])
-        if cand_map != int(m.active_map):
-            m = ms.merge_active_into(m, cand_map, res.S)
-            self.merges = getattr(self, "merges", 0) + 1
-            # residual error is distributed by the pose graph below with
-            # an identity loop constraint (maps are already aligned)
-            m = correct_loop(m, kf_j, jnp.int32(best), sim3.identity(),
-                             fix_scale=fix_scale)
+        # geometric verification cascade over the N best candidate groups
+        if K is None:
+            # minimal path for callers without camera context: 3D-3D only
+            cands = [(best, best_score, None)]
+            use_cascade = False
         else:
-            m = correct_loop(m, kf_j, jnp.int32(best), res.S,
-                             fix_scale=fix_scale)
-        # fuse duplicate landmarks along the verified correspondences
-        cur = jnp.where(lm.valid & res.inliers, lm.cur_mp, -1)
-        cand = jnp.where(lm.valid & res.inliers, lm.cand_mp, -1)
-        m = ms.replace_mappoint(m, cur, cand)
-        self._last_loop_kf = kf
-        self._streak = 0
-        self._streak_cand = -1
-        self.loops_closed += 1
+            cands = nbest_candidates(m, scores_np, n_best=3,
+                                     min_score=self.min_score)
+            use_cascade = True
+        for cand_kf, _, _ in cands:
+            self._key, sub = jax.random.split(self._key)
+            if use_cascade:
+                casc = verify_candidate_cascade(
+                    m, kf, cand_kf, sub, K, width=width, height=height,
+                    scale_factor=scale_factor, n_levels=n_levels,
+                    fix_scale=fix_scale,
+                    min_proj_matches=min_proj_matches)
+                if not casc.ok:
+                    continue
+                S_corr, lm, inliers = casc.S, casc.lm, casc.inliers
+            else:
+                lm = match_loop_landmarks(m, kf_j, jnp.int32(cand_kf))
+                res = verify_loop(m, lm, sub, fix_scale=fix_scale)
+                if not bool(res.ok):
+                    continue
+                S_corr, inliers = res.S, res.inliers
+
+            # candidate in another sub-map => Atlas merge: weld the active
+            # sub-map into the candidate's map before distributing the
+            # correction (reference LoopClosing::MergeLocal,
+            # LoopClosing.cc:1316)
+            cand_map = int(m.kf_map_id[cand_kf])
+            cand_j = jnp.int32(cand_kf)
+            if cand_map != int(m.active_map):
+                m = ms.merge_active_into(m, cand_map, S_corr)
+                self.merges = getattr(self, "merges", 0) + 1
+                # residual error is distributed by the pose graph below
+                # with an identity loop constraint (maps already aligned)
+                m = correct_loop(m, kf_j, cand_j, sim3.identity(),
+                                 fix_scale=fix_scale)
+            else:
+                m = correct_loop(m, kf_j, cand_j, S_corr,
+                                 fix_scale=fix_scale)
+            # fuse duplicate landmarks along the verified correspondences
+            cur = jnp.where(lm.valid & inliers, lm.cur_mp, -1)
+            cand = jnp.where(lm.valid & inliers, lm.cand_mp, -1)
+            m = ms.replace_mappoint(m, cur, cand)
+            if use_cascade:
+                # welding BA over the seam (Merge*BA analog)
+                m = weld_after_merge(m, kf, K, width=width, height=height,
+                                     scale_factor=scale_factor,
+                                     n_levels=n_levels)
+            self._last_loop_kf = kf
+            self._streak = 0
+            self._streak_cand = -1
+            self.loops_closed += 1
+            return m
         return m

@@ -96,7 +96,7 @@ class StereoSlam(MonoSlam):
         self.m, slots = ms.add_mappoints(self.m, pts, ok, feats.desc,
                                          k0, k0, idx, k0, idx, self.agent)
         if self.loop_closer is not None:
-            self.m = self.loop_closer.on_keyframe(self.m, int(k0))
+            self.m = self._loop_close(int(k0))
         self.T_cur = np.eye(4, dtype=np.float32)
         self.T_vel = np.eye(4, dtype=np.float32)
         self.ref_kf = int(k0)

@@ -105,6 +105,11 @@ class MonoSlam:
     def _post_track(self, ts: float) -> None:
         """Hook: after the tracking decision (velocity re-anchoring)."""
 
+    def _refine_pose(self, feats: FrameFeatures, res):
+        """Hook: refine the visually-optimized frame pose (the inertial
+        subclass runs the visual-inertial pose optimization here)."""
+        return res
+
     # ------------------------------------------------------------------
     def _try_initialize(self, feats: FrameFeatures, ts: float) -> None:
         if self._init_feats is None:
@@ -154,8 +159,8 @@ class MonoSlam:
             iters=10)
         self.m = out.map
         if self.loop_closer is not None:
-            self.m = self.loop_closer.on_keyframe(self.m, int(k0))
-            self.m = self.loop_closer.on_keyframe(self.m, int(k1))
+            self.m = self._loop_close(int(k0))
+            self.m = self._loop_close(int(k1))
         self.T_cur = np.asarray(self.m.kf_pose[int(k1)])
         self.T_vel = np.eye(4, dtype=np.float32)
         self.ref_kf = int(k1)
@@ -214,6 +219,10 @@ class MonoSlam:
                 res, n_in = res3, int(res3.n_inliers)
 
         if n_in >= c.tracking.min_matches_refkf:
+            # hook: the inertial subclass fuses the IMU preintegration
+            # factor into the frame pose here (reference
+            # PoseInertialOptimizationLastFrame, src/Optimizer.cc:7998)
+            res = self._refine_pose(feats, res)
             T_new = np.asarray(res.pose)
             self.T_vel = (T_new @ np.linalg.inv(self.T_cur)).astype(np.float32)
             self.T_cur = T_new
@@ -221,10 +230,19 @@ class MonoSlam:
             self.lost_count = 0
             self.frames_since_kf += 1
             self.stats["frames_tracked"] += 1
+            # the decay baseline rises during the post-KF recovery window:
+            # triangulation lands new points 1-3 frames after insertion, so
+            # the "what the last KF saw" reference is the best count since
+            # (prevents a downward ratchet when KFs get inserted at decayed
+            # inlier levels)
+            if self.frames_since_kf <= 3:
+                self._tracked_at_kf = max(
+                    getattr(self, "_tracked_at_kf", 0), n_in)
             # landmark statistics (MapPoint::IncreaseFound/IncreaseVisible)
             self.m = ms.update_found_visible(self.m, res.feat_mp, res.visible)
             if self._need_keyframe(n_in):
                 self._insert_keyframe(feats, res.feat_mp, ts)
+                self._tracked_at_kf = n_in
         else:
             # RECENTLY_LOST: hold the motion model, give it a few frames
             # (reference Tracking.cc:1691-1766 ladder, minus IMU predict)
@@ -314,14 +332,20 @@ class MonoSlam:
 
     # ------------------------------------------------------------------
     def _need_keyframe(self, n_inliers: int) -> bool:
+        """Keyframe decision (reference Tracking::NeedNewKeyFrame,
+        src/Tracking.cc:2813-2950): insert when tracking strength decays
+        below a fraction of what the last keyframe saw (the reference's
+        mnMatchesInliers < thRefRatio * nRefMatches test) or the maximum
+        interval elapses. Comparing against the inlier count AT the last
+        insertion (not the reference KF's total association count) keeps
+        the cadence at the reference's 1-5 Hz instead of every frame."""
         c = self.cfg.tracking
         if self.frames_since_kf < max(1, c.kf_min_interval):
             return False
         if self.frames_since_kf >= c.kf_max_interval:
             return True
-        ref_tracked = int(jnp.sum(self.m.kf_mp[self.ref_kf] >= 0))
-        return n_inliers < c.kf_tracked_ratio * max(ref_tracked, 1) and \
-            n_inliers > 15
+        baseline = getattr(self, "_tracked_at_kf", 0) or n_inliers
+        return n_inliers < c.kf_tracked_ratio * baseline and n_inliers > 15
 
     def _insert_keyframe(self, feats: FrameFeatures, feat_mp: jnp.ndarray,
                          ts: float) -> None:
@@ -332,31 +356,21 @@ class MonoSlam:
         if k < 0:   # capacity reached
             return
         self.m = m
-        # triangulate against several covisible neighbors: nearby KFs share
-        # many features but have tiny baselines; older ones supply parallax
-        # (the reference searches up to 20 neighbors,
-        # LocalMapping::CreateNewMapPoints src/LocalMapping.cc:520)
-        covis = ms.covisibility_row(self.m, jnp.int32(k))
-        covis_np = np.array(covis)
-        covis_np[k] = -1
-        n_nbrs = self.cfg.local_mapping.triangulation_neighbors
-        order = np.argsort(-covis_np)[:n_nbrs]
-        for nbr in order:
-            if covis_np[nbr] < 10:
-                break
-            tri = local_mapping.triangulate_with_neighbor(
-                self.m, jnp.int32(k), jnp.int32(int(nbr)), self.K)
-            self.m = tri.map
-            self.stats["mp_created"] += int(tri.n_created)
-        # duplicate-landmark fusion (SearchInNeighbors -> ORBmatcher::Fuse)
-        fuse = local_mapping.fuse_into_keyframe(
+        # fused mapping stage: neighbor top-k + triangulation scan + fuse +
+        # point-stat refresh in ONE device program (reference
+        # CreateNewMapPoints + SearchInNeighbors, src/LocalMapping.cc:520,
+        # 868 — the host loop over neighbors cost ~10 dispatch round-trips
+        # per keyframe on a tunneled TPU)
+        proc = local_mapping.process_new_keyframe(
             self.m, jnp.int32(k), self.K,
+            n_neighbors=self.cfg.local_mapping.triangulation_neighbors,
             width=self.cfg.camera.width, height=self.cfg.camera.height,
             scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels)
-        self.m = fuse.map
+        self.m = proc.map
+        self.stats["mp_created"] += int(proc.n_created)
         self.stats["mp_fused"] = self.stats.get("mp_fused", 0) + \
-            int(fuse.n_fused)
+            int(proc.n_fused)
         lm = self.cfg.local_mapping
         n_window = min(lm.local_ba_kfs, self.cfg.map.max_keyframes // 2)
         n_fixed = min(lm.local_ba_fixed_kfs,
@@ -369,20 +383,24 @@ class MonoSlam:
             covis_threshold=self.cfg.map.covis_threshold,
             bf=self._bf())
         self.m = out.map
-        # refresh landmark descriptors / normals / depth ranges over the
-        # window (MapPoint::ComputeDistinctiveDescriptors + UpdateNormalAndDepth)
-        win = np.concatenate([[k], order]).astype(np.int32)
-        win_ok = np.concatenate([[True], covis_np[order] > 0])
-        self.m = ms.refresh_point_stats(
-            self.m, jnp.asarray(win), jnp.asarray(win_ok),
-            scale_factor=self.cfg.orb.scale_factor,
-            n_levels=self.cfg.orb.n_levels)
         if self.loop_closer is not None:
-            self.m = self.loop_closer.on_keyframe(self.m, k)
+            self.m = self._loop_close(k)
         self.T_cur = np.asarray(self.m.kf_pose[k])
         self.ref_kf = k
         self.frames_since_kf = 0
         self.stats["kf_inserted"] += 1
+
+    # ------------------------------------------------------------------
+    def _loop_close(self, k: int):
+        """Run the loop-closing verification cascade on keyframe k with
+        full camera context (N-best candidates, reprojection Sim3, guided
+        projection, welding BA)."""
+        c = self.cfg
+        return self.loop_closer.on_keyframe(
+            self.m, k, fix_scale=self._bf() > 0.0, K=self.K,
+            width=c.camera.width, height=c.camera.height,
+            scale_factor=c.orb.scale_factor, n_levels=c.orb.n_levels,
+            min_proj_matches=c.loop.min_proj_matches)
 
     # ------------------------------------------------------------------
     def keyframe_trajectory(self) -> List[Tuple[float, np.ndarray]]:

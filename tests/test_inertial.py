@@ -159,3 +159,92 @@ class TestInertialBA:
         v_err = np.abs(np.asarray(res.velocities) - kf_v).max()
         assert v_err < 0.05, f"velocity err {v_err}"
         assert float(res.chi2) < 1e-3
+
+
+class TestVIPoseOpt:
+    """Per-frame visual-inertial pose optimization with non-identity
+    camera-IMU extrinsics (reference PoseInertialOptimizationLastFrame,
+    src/Optimizer.cc:7998 + Tbc threading, include/ImuTypes.h:111)."""
+
+    T_bc = np.asarray(se3.make(
+        so3.exp(jnp.asarray([0.0, 0.0, 1.2])),
+        jnp.asarray([0.10, 0.02, -0.03])))
+
+    def _setup(self, seed=0, n_pts=60, px_noise=0.0):
+        from multi_orbslam3_tpu.opt import vi_pose_opt
+        K = camera.PinholeK(*[jnp.float32(x) for x in
+                              (400.0, 400.0, 320.0, 240.0)])
+        kf_R, kf_p, kf_v, acc_w, gyr_w, dt_w = simulate(n_kf=4, seed=seed)
+        i, j = 2, 3
+        c = calib()
+        preint = pre.preintegrate(
+            jnp.asarray(acc_w[i]), jnp.asarray(gyr_w[i]),
+            jnp.asarray(dt_w[i]), jnp.zeros(3), jnp.zeros(3), c)
+        T_bc = self.T_bc
+        T_bc_inv = np.linalg.inv(T_bc)
+
+        def cam_pose(k):
+            T_wb = np.eye(4, dtype=np.float32)
+            T_wb[:3, :3] = kf_R[k]
+            T_wb[:3, 3] = kf_p[k]
+            return (T_bc_inv @ np.linalg.inv(T_wb)).astype(np.float32)
+
+        T_prev = cam_pose(i)
+        T_true = cam_pose(j)
+        rng = np.random.RandomState(seed + 11)
+        p_c = np.stack([rng.uniform(-2, 2, n_pts), rng.uniform(-2, 2, n_pts),
+                        rng.uniform(3, 7, n_pts)], 1).astype(np.float32)
+        p_w = np.asarray(se3.apply(se3.inverse(jnp.asarray(T_true)),
+                                   jnp.asarray(p_c)))
+        uv = np.asarray(camera.project(K, jnp.asarray(p_c)))
+        uv = uv + rng.randn(n_pts, 2).astype(np.float32) * px_noise
+        return (vi_pose_opt, K, preint, T_prev, T_true, kf_v[i], kf_v[j],
+                p_w, uv, n_pts)
+
+    def test_inertial_only_matches_prediction(self):
+        """With no visual observations the factor graph is exactly the IMU
+        prediction from the fixed previous state — validates the T_bc
+        body-pose composition in isolation."""
+        (vp, K, preint, T_prev, T_true, v_prev, v_true, p_w, uv,
+         n_pts) = self._setup()
+        rng = np.random.RandomState(5)
+        T0 = np.asarray(se3.retract(jnp.asarray(T_true),
+                                    jnp.asarray(rng.randn(6) * 0.05,
+                                                jnp.float32)))
+        res = vp.pose_inertial_optimization(
+            jnp.asarray(T0), jnp.asarray(v_true + rng.randn(3) * 0.2),
+            jnp.zeros(3), jnp.zeros(3),
+            jnp.asarray(T_prev), jnp.asarray(v_prev),
+            jnp.zeros(3), jnp.zeros(3), preint, K,
+            jnp.asarray(p_w), jnp.asarray(uv), jnp.ones(n_pts),
+            jnp.zeros(n_pts, bool), jnp.asarray(g_w.astype(np.float32)),
+            jnp.asarray(self.T_bc), rounds=2, iters=8)
+        err = float(jnp.linalg.norm(se3.log(se3.compose(
+            res.pose, se3.inverse(jnp.asarray(T_true))))))
+        assert err < 5e-3, f"pose err {err}"
+        v_err = float(jnp.linalg.norm(res.velocity - jnp.asarray(v_true)))
+        assert v_err < 0.05, f"velocity err {v_err}"
+
+    def test_visual_inertial_fusion(self):
+        """Visual + inertial with noisy pixels: pose recovered and the
+        velocity estimate comes out of the joint optimization."""
+        (vp, K, preint, T_prev, T_true, v_prev, v_true, p_w, uv,
+         n_pts) = self._setup(px_noise=0.5)
+        rng = np.random.RandomState(7)
+        T0 = np.asarray(se3.retract(jnp.asarray(T_true),
+                                    jnp.asarray(rng.randn(6) * 0.03,
+                                                jnp.float32)))
+        res = vp.pose_inertial_optimization(
+            jnp.asarray(T0), jnp.asarray(v_true + rng.randn(3) * 0.3),
+            jnp.zeros(3), jnp.zeros(3),
+            jnp.asarray(T_prev), jnp.asarray(v_prev),
+            jnp.zeros(3), jnp.zeros(3), preint, K,
+            jnp.asarray(p_w), jnp.asarray(uv), jnp.ones(n_pts),
+            jnp.ones(n_pts, bool), jnp.asarray(g_w.astype(np.float32)),
+            jnp.asarray(self.T_bc), rounds=2, iters=8)
+        err = float(jnp.linalg.norm(se3.log(se3.compose(
+            res.pose, se3.inverse(jnp.asarray(T_true))))))
+        assert err < 5e-3, f"pose err {err}"
+        v_err = float(jnp.linalg.norm(res.velocity - jnp.asarray(v_true)))
+        assert v_err < 0.05, f"velocity err {v_err}"
+        assert int(res.n_inliers) > n_pts * 0.8

@@ -49,8 +49,51 @@ class TestMonoInertialE2E:
         # post-init segments separately (each is internally consistent;
         # the re-gauge introduces a scale jump between them)
         n0 = next(i for i, st in enumerate(states) if st == TrackState.OK)
+        init_f = slam.stats["imu_init_frame"]
         est = np.stack([T for _, T in slam.trajectory])
-        for a, b in ((n0, 40), (45, len(states))):
+        for a, b in ((n0, init_f - 1), (init_f + 2, len(states))):
+            e = ate.camera_centers(est[a:b])
+            g = ate.camera_centers(seq.T_cw[a:b])
+            rmse = ate.ate_rmse(e, g)
+            span = np.linalg.norm(g.max(0) - g.min(0))
+            assert rmse < 0.1 * span, \
+                f"segment [{a}:{b}] ATE {rmse:.3f} vs span {span:.2f}"
+
+
+@pytest.mark.slow
+class TestMonoInertialTbc:
+    def test_non_identity_extrinsics(self):
+        """E2E with rotated + offset camera-IMU extrinsics (EuRoC's Tbc is
+        far from identity; reference threads it everywhere,
+        include/ImuTypes.h:111)."""
+        from multi_orbslam3_tpu.geometry import se3, so3
+        import jax.numpy as jnp
+        T_bc = np.asarray(se3.make(
+            so3.exp(jnp.asarray([0.05, -0.1, 0.6])),
+            jnp.asarray([0.08, -0.02, 0.05])))
+        c = vi_config()
+        c = c.replace(imu=cfg.IMUConfig(
+            T_bc=tuple(float(x) for x in T_bc.reshape(-1))))
+        seq = synthetic.make_sequence(c, n_frames=70, n_points=500, seed=7,
+                                      trajectory="forward", imu=True,
+                                      lateral=0.8, sway_freq=0.15)
+        slam = MonoInertialSlam(c, enable_loop_closing=False)
+        states = []
+        for i in range(seq.images.shape[0]):
+            dt = np.diff(seq.imu_t[i], prepend=seq.imu_t[i][0] - 1.0 / 200)
+            dt = np.where(seq.imu_t[i] > 0, np.maximum(dt, 0.0), 0.0)
+            st = slam.process_frame_imu(
+                seq.images[i], float(seq.timestamps[i]),
+                seq.imu_acc[i], seq.imu_gyro[i], dt)
+            states.append(st)
+        assert slam.stats["frames_tracked"] > 25, slam.stats
+        assert slam.imu_initialized, "IMU never initialized with Tbc != I"
+        s = slam.stats.get("imu_init_scale", 0.0)
+        assert 0.05 < s < 50.0, f"scale {s}"
+        n0 = next(i for i, st in enumerate(states) if st == TrackState.OK)
+        init_f = slam.stats["imu_init_frame"]
+        est = np.stack([T for _, T in slam.trajectory])
+        for a, b in ((n0, init_f - 1), (init_f + 2, len(states))):
             e = ate.camera_centers(est[a:b])
             g = ate.camera_centers(seq.T_cw[a:b])
             rmse = ate.ate_rmse(e, g)

@@ -118,3 +118,92 @@ class TestCorrectLoop:
         err_pts = np.linalg.norm(np.asarray(m2.mp_pos) - gt_pos, axis=1)
         n_mp = int(m2.n_mp)
         assert np.median(err_pts[:n_mp]) < 0.15
+
+
+def _projected_kf(m, K, T_cw, pts_world, desc, ts, parent=-1, n_feat=64):
+    """Add a KF whose features are the true projections of pts_world, plus
+    its own landmark entries observed by it (duplicate-entry style, the
+    situation right before a loop fusion)."""
+    from multi_orbslam3_tpu.geometry import camera as camm
+    uv = np.asarray(camm.project(K, se3.apply(jnp.asarray(T_cw)[None],
+                                              jnp.asarray(pts_world))))
+    P = pts_world.shape[0]
+    uv_pad = np.zeros((n_feat, 2), np.float32)
+    uv_pad[:P] = uv
+    desc_pad = np.zeros((n_feat, 8), np.uint32)
+    desc_pad[:P] = desc
+    valid = np.zeros(n_feat, bool)
+    valid[:P] = True
+    feats = FrameFeatures(
+        uv=jnp.asarray(uv_pad), uv_und=jnp.asarray(uv_pad),
+        response=jnp.ones(n_feat), level=jnp.zeros(n_feat, jnp.int32),
+        angle=jnp.zeros(n_feat), desc=jnp.asarray(desc_pad),
+        valid=jnp.asarray(valid))
+    m, k = ms.add_keyframe(m, feats, jnp.asarray(T_cw), ts,
+                           jnp.full((n_feat,), ms.NO_MP, jnp.int32), parent)
+    idx = jnp.arange(P, dtype=jnp.int32)
+    m, slots = ms.add_mappoints(m, jnp.asarray(pts_world),
+                                jnp.ones(P, bool), jnp.asarray(desc_pad[:P]),
+                                k, k, idx, k, idx)
+    return m, int(k)
+
+
+class TestVerificationCascade:
+    """Reference cascade: Sim3 RANSAC -> reprojection OptimizeSim3 ->
+    guided projection re-check (LoopClosing.cc:580, Optimizer.cc:4031).
+    The adversarial case: repeated texture where 3D-3D RANSAC alone
+    false-positives but the projection re-check rejects."""
+
+    def _setup(self, adversarial: bool):
+        from multi_orbslam3_tpu.geometry import camera as camm
+        rng = np.random.RandomState(3)
+        K = camm.PinholeK(*[jnp.float32(x) for x in
+                            (300.0, 300.0, 160.0, 120.0)])
+        P = 64
+        # place A: random landmarks in front of the origin
+        p_A = np.stack([rng.uniform(-1.5, 1.5, P), rng.uniform(-1, 1, P),
+                        rng.uniform(3, 6, P)], 1).astype(np.float32)
+        desc = rng.randint(0, 2 ** 32, (P, 8), dtype=np.uint32)
+        T_a = np.eye(4, dtype=np.float32)
+        m = ms.empty_map(max_kf=16, max_mp=512, n_feat=64)
+        m, kA = _projected_kf(m, K, T_a, p_A, desc, 0.0)
+        if not adversarial:
+            # genuine loop: same place seen again with duplicate entries
+            p_B = p_A.copy()
+        else:
+            # repeated texture: same DESCRIPTORS, but only 20 of 64 points
+            # follow a similarity; the rest are elsewhere (a different
+            # facade with the same tiling)
+            S_d = sim3.exp(jnp.asarray([0.0, 0.1, 0.0, 0.4, 0.0, 0.2, 0.05]))
+            p_B = np.array(sim3.apply(S_d, jnp.asarray(p_A)))
+            scram = np.stack([rng.uniform(-1.5, 1.5, P - 20),
+                              rng.uniform(-1, 1, P - 20),
+                              rng.uniform(3, 6, P - 20)], 1)
+            p_B[20:] = scram + np.asarray([0.0, 0.0, 0.5])
+        T_b = np.asarray(se3.exp(jnp.asarray(
+            [0.0, 0.03, 0.0, 0.15, 0.05, 0.0])), np.float32)
+        m, kB = _projected_kf(m, K, T_b, p_B.astype(np.float32), desc, 9.0,
+                              parent=kA)
+        return m, K, kA, kB
+
+    def test_true_loop_accepted(self):
+        m, K, kA, kB = self._setup(adversarial=False)
+        casc = loop_closing.verify_candidate_cascade(
+            m, kB, kA, jax.random.PRNGKey(0), K, width=320, height=240,
+            min_proj_matches=25)
+        assert casc.ok, f"true loop rejected (n_proj={casc.n_proj})"
+        assert casc.n_proj >= 25
+
+    def test_repeated_texture_rejected(self):
+        m, K, kA, kB = self._setup(adversarial=True)
+        # the naive 3D-3D path (round-1 pipeline) false-positives:
+        lm = loop_closing.match_loop_landmarks(m, jnp.int32(kB),
+                                               jnp.int32(kA))
+        res = loop_closing.verify_loop(m, lm, jax.random.PRNGKey(0))
+        assert bool(res.ok), "precondition: RANSAC alone should accept"
+        # the full cascade rejects on the guided-projection count:
+        casc = loop_closing.verify_candidate_cascade(
+            m, kB, kA, jax.random.PRNGKey(0), K, width=320, height=240,
+            min_proj_matches=25)
+        assert not casc.ok, \
+            f"repeated texture accepted (n_proj={casc.n_proj})"
