@@ -52,6 +52,9 @@ def main() -> None:
     log("bench: frontend kernel micro-bench (pallas vs XLA)...")
     kernels = B.bench_kernels()
     log(f"  -> {kernels}")
+    log("bench: distributed GBA scaling sweep (virtual CPU devices)...")
+    scaling = _gba_scaling_sweep(log)
+    log(f"  -> {scaling}")
 
     euroc_root = os.environ.get(
         "EUROC_ROOT", os.path.join(os.path.dirname(__file__),
@@ -68,8 +71,43 @@ def main() -> None:
         "vs_baseline": round(fps / 20.0, 3),
         "configs": configs,
         "gba": gba,
+        "gba_scaling": scaling,
         "kernels": kernels,
     }))
+
+
+def _gba_scaling_sweep(log):
+    """GBA iters/s at 1/2/4/8 devices (virtual CPU mesh via subprocess —
+    the only multi-device surface on a 1-chip machine; real-ICI scaling
+    uses the same shard_map path). Efficiency at N =
+    rate_N / (N * rate_1)."""
+    import subprocess
+    out = {}
+    rate1 = None
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + f" --xla_force_host_platform_device_count={n}"
+                            ).strip()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m",
+                 "multi_orbslam3_tpu.eval.gba_scaling"],
+                capture_output=True, text=True, timeout=900, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [ln for ln in r.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            rec = json.loads(line)
+            rate = rec["gba_iters_per_s"]
+            if n == 1:
+                rate1 = rate
+            out[f"iters_per_s_{n}dev"] = rate
+            if rate1:
+                out[f"efficiency_{n}dev"] = round(rate / (n * rate1), 3)
+        except Exception as e:  # noqa: BLE001
+            out[f"error_{n}dev"] = str(e)[:200]
+    return out
 
 
 if __name__ == "__main__":

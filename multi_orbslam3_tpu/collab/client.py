@@ -44,8 +44,23 @@ class CollabClient:
                                       np.float32)
         self._sent_mp_pos = np.zeros((config.map.max_mappoints, 3),
                                      np.float32)
+        # foreign (other agents') entities ingested from the server
+        # vicinity downlink: server slot -> local slot, plus masks that
+        # keep them OUT of the uplink (they are not ours to publish)
+        self._foreign_kf = {}
+        self._foreign_mp = {}
+        self._is_foreign_kf = np.zeros(config.map.max_keyframes, bool)
+        self._is_foreign_mp = np.zeros(config.map.max_mappoints, bool)
         self._seq = 0
-        self.stats = {"deltas_sent": 0, "corrections_applied": 0}
+        # reliability: unacked deltas are retained and resent after a few
+        # cycles without a cumulative ack (the reference's open-ack lists,
+        # include/Communicator.h:162-165) — tolerates dropped/reordered
+        # transport payloads; the server's reorder buffer restores order
+        self._outbox = {}               # seq -> (payload bytes, sent cycle)
+        self._cycle = 0
+        self._resend_after = 4          # cycles before a resend
+        self.stats = {"deltas_sent": 0, "corrections_applied": 0,
+                      "foreign_kf": 0, "foreign_mp": 0, "resends": 0}
 
     # ------------------------------------------------------------------
     def process_frame(self, img: np.ndarray, timestamp: float):
@@ -61,11 +76,20 @@ class CollabClient:
     def comm_cycle(self) -> None:
         """One communication cycle: ingest corrections, publish deltas
         (reference Communicator::RunClient, src/Communicator.cc:164-230)."""
+        self._cycle += 1
         self._ingest_corrections()
         delta = self._build_delta()
         if delta is not None:
-            self.transport.send_up(self.agent, delta.to_bytes())
+            payload = delta.to_bytes()
+            self._outbox[delta.seq] = (payload, self._cycle)
+            self.transport.send_up(self.agent, payload)
             self.stats["deltas_sent"] += 1
+        # resend unacked deltas that have been outstanding too long
+        for seq, (payload, sent_at) in list(self._outbox.items()):
+            if self._cycle - sent_at >= self._resend_after:
+                self.transport.send_up(self.agent, payload)
+                self._outbox[seq] = (payload, self._cycle)
+                self.stats["resends"] += 1
 
     # ------------------------------------------------------------------
     def _build_delta(self) -> Optional[protocol.MapDelta]:
@@ -89,19 +113,28 @@ class CollabClient:
                 np.array(m.mp_pos[:self._sent_mp])
         n_kf = int(m.n_kf)
         n_mp = int(m.n_mp)
-        new_kf_hi = min(n_kf, self._sent_kf + comm.client_kf_bound)
-        new_mp_hi = min(n_mp, self._sent_mp + comm.client_mp_bound)
         kfs = kf_updates = mps = mp_updates = None
 
-        if new_kf_hi > self._sent_kf:
-            sl = slice(self._sent_kf, new_kf_hi)
-            poses = np.array(m.kf_pose[sl.start:sl.stop])
-            B = new_kf_hi - self._sent_kf
-            local_ids = np.arange(self._sent_kf, new_kf_hi, dtype=np.int32)
-            # reference chain: predecessor, pred-of-pred, spanning parent
-            parent = np.array(m.kf_parent[sl.start:sl.stop])
-            ref_ids = np.stack([local_ids - 1, local_ids - 2, parent], 1)
-            ref_ids = np.where(ref_ids >= 0, ref_ids, -1).astype(np.int32)
+        # new OWN keyframes (foreign-ingested slots are skipped — they are
+        # the server's, not ours to publish)
+        own_new = [i for i in range(self._sent_kf, n_kf)
+                   if not self._is_foreign_kf[i]][:comm.client_kf_bound]
+        if own_new:
+            ids = np.asarray(own_new, np.int64)
+            poses = np.array(m.kf_pose)[ids]
+            B = len(own_new)
+            # reference chain: previous OWN keyframes + spanning parent
+            own_all = np.nonzero(~self._is_foreign_kf[:n_kf])[0]
+            pos_in_own = np.searchsorted(own_all, ids)
+            pred1 = np.where(pos_in_own >= 1,
+                             own_all[np.maximum(pos_in_own - 1, 0)], -1)
+            pred2 = np.where(pos_in_own >= 2,
+                             own_all[np.maximum(pos_in_own - 2, 0)], -1)
+            parent = np.array(m.kf_parent)[ids]
+            parent = np.where((parent >= 0)
+                              & ~self._is_foreign_kf[np.maximum(parent, 0)],
+                              parent, -1)
+            ref_ids = np.stack([pred1, pred2, parent], 1).astype(np.int32)
             T_rel = np.zeros((B, 3, 4, 4), np.float32)
             all_poses = np.array(m.kf_pose)
             for b in range(B):
@@ -109,24 +142,40 @@ class CollabClient:
                     rid = ref_ids[b, r]
                     if rid >= 0:
                         T_rel[b, r] = poses[b] @ np.linalg.inv(all_poses[rid])
+            mp_local = np.array(m.kf_mp)[ids]
+            # strip associations to foreign landmarks (the server already
+            # owns them under their original identity)
+            mp_local = np.where(
+                (mp_local >= 0)
+                & self._is_foreign_mp[np.maximum(mp_local, 0)],
+                -1, mp_local)
             kfs = protocol.KFPayload(
-                agent=self.agent, local_id=local_ids,
-                timestamp=np.array(m.kf_timestamp[sl.start:sl.stop]),
+                agent=self.agent, local_id=ids.astype(np.int32),
+                timestamp=np.array(m.kf_timestamp)[ids],
                 ref_ids=ref_ids, T_rel=T_rel, T_abs=poses,
-                is_first=(local_ids == 0),
-                uv=np.array(m.kf_uv[sl.start:sl.stop]),
-                desc=np.array(m.kf_desc[sl.start:sl.stop]),
-                level=np.array(m.kf_level[sl.start:sl.stop]),
-                angle=np.array(m.kf_angle[sl.start:sl.stop]),
-                feat_valid=np.array(m.kf_feat_valid[sl.start:sl.stop]),
-                mp_local=np.array(m.kf_mp[sl.start:sl.stop]))
-            self._sent_kf_pose[sl.start:sl.stop] = poses
+                is_first=(ids == 0),
+                uv=np.array(m.kf_uv)[ids],
+                desc=np.array(m.kf_desc)[ids],
+                level=np.array(m.kf_level)[ids],
+                angle=np.array(m.kf_angle)[ids],
+                feat_valid=np.array(m.kf_feat_valid)[ids],
+                mp_local=mp_local)
+            self._sent_kf_pose[ids] = poses
+            new_kf_hi = int(ids[-1]) + 1 \
+                if len(own_new) == comm.client_kf_bound else n_kf
+        else:
+            new_kf_hi = n_kf
 
-        if new_mp_hi > self._sent_mp:
-            sl = slice(self._sent_mp, new_mp_hi)
-            local_ids = np.arange(self._sent_mp, new_mp_hi, dtype=np.int32)
-            ref_kf = np.array(m.mp_ref_kf[sl.start:sl.stop])
-            pos_abs = np.array(m.mp_pos[sl.start:sl.stop])
+        own_mp_new = [i for i in range(self._sent_mp, n_mp)
+                      if not self._is_foreign_mp[i]][:comm.client_mp_bound]
+        if own_mp_new:
+            ids = np.asarray(own_mp_new, np.int64)
+            ref_kf = np.array(m.mp_ref_kf)[ids]
+            # a foreign reference KF has no sender-local id on the server
+            ref_kf = np.where((ref_kf >= 0)
+                              & ~self._is_foreign_kf[np.maximum(ref_kf, 0)],
+                              ref_kf, -1)
+            pos_abs = np.array(m.mp_pos)[ids]
             all_poses = np.array(m.kf_pose)
             ref_safe = np.maximum(ref_kf, 0)
             # position in reference-KF camera frame (relative encoding,
@@ -135,10 +184,15 @@ class CollabClient:
                                 all_poses[ref_safe][:, :3, :3], pos_abs) \
                 + all_poses[ref_safe][:, :3, 3]
             mps = protocol.MPPayload(
-                agent=self.agent, local_id=local_ids, ref_kf_local=ref_kf,
+                agent=self.agent, local_id=ids.astype(np.int32),
+                ref_kf_local=ref_kf.astype(np.int32),
                 pos_rel=pos_rel.astype(np.float32), pos_abs=pos_abs,
-                desc=np.array(m.mp_desc[sl.start:sl.stop]))
-            self._sent_mp_pos[sl.start:sl.stop] = pos_abs
+                desc=np.array(m.mp_desc)[ids])
+            self._sent_mp_pos[ids] = pos_abs
+            new_mp_hi = int(ids[-1]) + 1 \
+                if len(own_mp_new) == comm.client_mp_bound else n_mp
+        else:
+            new_mp_hi = n_mp
 
         # pose updates for already-sent KFs whose pose moved (SendMe analog)
         if self._sent_kf > 0:
@@ -158,6 +212,7 @@ class CollabClient:
             curp = np.array(m.mp_pos[:self._sent_mp])
             movedp = np.abs(curp - self._sent_mp_pos[:self._sent_mp])\
                 .max(axis=1) > 1e-6
+            movedp = movedp & ~self._is_foreign_mp[:self._sent_mp]
             if movedp.any():
                 ids = np.nonzero(movedp)[0].astype(np.int32)
                 ids = ids[:comm.client_mp_bound]
@@ -182,8 +237,16 @@ class CollabClient:
     def _ingest_corrections(self) -> None:
         """Apply server downlink: only pose-locked updates
         (ProcessKfInClient, src/Communicator.cc:1324-1403)."""
-        for payload in self.transport.poll_down(self.agent):
+        payloads = self.transport.poll_down(self.agent)
+        if payloads:
+            # corrections mutate slam.m — fold in any in-flight deferred
+            # mapping result first so adoption can't clobber them
+            self.slam._adopt_pending(force=True)
+        for payload in payloads:
             delta = protocol.MapDelta.from_bytes(payload)
+            if delta.ack_seq >= 0:
+                for seq in [s for s in self._outbox if s <= delta.ack_seq]:
+                    del self._outbox[seq]
             m = self.slam.m
             if delta.kf_updates is not None:
                 ku = delta.kf_updates
@@ -209,8 +272,95 @@ class CollabClient:
                 for lid in delta.erased_kf:
                     lid = int(lid)
                     if lid != self.slam.ref_kf and 0 <= lid < int(m.n_kf):
+                        self._merge_preint_over(lid)
                         m = ms.erase_keyframe(m, jnp.int32(lid))
+            m = self._ingest_foreign(m, delta)
             self.slam.m = m
             self.slam.T_cur = np.array(self.slam.m.kf_pose[self.slam.ref_kf]) \
                 if bool(self.slam.m.kf_pose_locked[self.slam.ref_kf]) \
                 else self.slam.T_cur
+
+    # ------------------------------------------------------------------
+    def _merge_preint_over(self, lid: int) -> None:
+        """When a keyframe is culled, fold its IMU preintegration window
+        into its successor's so the inertial chain stays unbroken
+        (reference MergePrevious on erased-KF processing,
+        src/Communicator.cc:319-341)."""
+        kf_preint = getattr(self.slam, "kf_preint", None)
+        if kf_preint is None or kf_preint[lid] is None:
+            return
+        from multi_orbslam3_tpu.imu import preintegration as pre
+        n = int(self.slam.m.n_kf)
+        for succ in range(lid + 1, n):
+            if self._is_foreign_kf[succ]:
+                continue
+            if kf_preint[succ] is not None:
+                kf_preint[succ] = pre.merge_preintegrated(
+                    kf_preint[lid], kf_preint[succ])
+            break
+        kf_preint[lid] = None
+
+    # ------------------------------------------------------------------
+    def _ingest_foreign(self, m, delta: protocol.MapDelta):
+        """Ingest other agents' map content from the server vicinity
+        downlink (reference Communicator::ProcessKfInClient /
+        ProcessMpInClient for never-seen entities, src/Communicator.cc:
+        1324-1477): foreign landmarks and keyframes land in the client's
+        own arena (tagged with the owning agent, poses locked), so live
+        tracking matches them like local landmarks and relocalization can
+        query them."""
+        from multi_orbslam3_tpu.frontend.extractor import FrameFeatures
+        fm = delta.foreign_mps
+        if fm is not None:
+            B = fm.server_id.shape[0]
+            new = [b for b in range(B)
+                   if int(fm.server_id[b]) not in self._foreign_mp]
+            if new:
+                idx = np.asarray(new)
+                ref = np.full(len(new), self.slam.ref_kf, np.int32)
+                m, slots = ms.add_mappoints_raw(
+                    m, jnp.asarray(fm.pos_abs[idx]),
+                    jnp.ones(len(new), bool),
+                    jnp.asarray(fm.desc[idx]), jnp.asarray(ref),
+                    int(fm.owner[idx[0]]) if len(new) else 0)
+                slots_np = np.array(slots)
+                for i, b in enumerate(new):
+                    s = int(slots_np[i])
+                    if s >= 0:
+                        self._foreign_mp[int(fm.server_id[b])] = s
+                        self._is_foreign_mp[s] = True
+                        self.stats["foreign_mp"] += 1
+        fk = delta.foreign_kfs
+        if fk is not None:
+            for b in range(fk.server_id.shape[0]):
+                sid = int(fk.server_id[b])
+                if sid in self._foreign_kf:
+                    continue
+                assoc = np.full(fk.mp_server.shape[1], ms.NO_MP, np.int32)
+                for f, s in enumerate(fk.mp_server[b]):
+                    if s >= 0:
+                        loc = self._foreign_mp.get(int(s))
+                        if loc is not None:
+                            assoc[f] = loc
+                feats = FrameFeatures(
+                    uv=jnp.asarray(fk.uv[b]), uv_und=jnp.asarray(fk.uv[b]),
+                    response=jnp.ones(fk.uv.shape[1], jnp.float32),
+                    level=jnp.asarray(fk.level[b]),
+                    angle=jnp.asarray(fk.angle[b]),
+                    desc=jnp.asarray(fk.desc[b]),
+                    valid=jnp.asarray(fk.feat_valid[b]))
+                m, k = ms.add_keyframe(
+                    m, feats, jnp.asarray(fk.T_abs[b]),
+                    float(fk.timestamp[b]), jnp.asarray(assoc), -1,
+                    int(fk.owner[b]))
+                k_i = int(k)
+                if k_i < 0:
+                    continue
+                # server-owned pose: locked against local refinement
+                m = m._replace(
+                    kf_pose_locked=m.kf_pose_locked.at[k_i].set(True))
+                self._foreign_kf[sid] = k_i
+                self._is_foreign_kf[k_i] = True
+                self.stats["foreign_kf"] += 1
+                self.slam.add_to_reloc_db(m, k_i)
+        return m

@@ -77,6 +77,34 @@ class MPUpdatePayload:
 
 
 @dataclasses.dataclass
+class ForeignKFPayload:
+    """Full OTHER-agent keyframes shipped server->client (reference
+    KeyFrame::ConvertToMessageServer, KeyFrame.cc:1765-1807 — full
+    payloads for entities the receiving client has never seen; they are
+    what lets a client track/relocalize against another agent's map after
+    a merge). Identity is the server arena slot."""
+    server_id: np.ndarray       # (B,) int32 server arena slots
+    owner: np.ndarray           # (B,) int32 owning agent per KF
+    timestamp: np.ndarray       # (B,)
+    T_abs: np.ndarray           # (B, 4, 4) pose in the merged frame
+    uv: np.ndarray              # (B, N, 2)
+    desc: np.ndarray            # (B, N, 8) uint32
+    level: np.ndarray           # (B, N) int32
+    angle: np.ndarray           # (B, N)
+    feat_valid: np.ndarray      # (B, N) bool
+    mp_server: np.ndarray       # (B, N) int32 server MP slot per feature
+
+
+@dataclasses.dataclass
+class ForeignMPPayload:
+    """Other-agent landmarks (full payload, server slot identity)."""
+    server_id: np.ndarray       # (B,) int32
+    owner: np.ndarray           # (B,) int32
+    pos_abs: np.ndarray         # (B, 3)
+    desc: np.ndarray            # (B, 8) uint32
+
+
+@dataclasses.dataclass
 class MapDelta:
     """The per-cycle envelope (Map.msg analog)."""
     agent: int
@@ -85,6 +113,8 @@ class MapDelta:
     kf_updates: Optional[KFUpdatePayload] = None
     mps: Optional[MPPayload] = None
     mp_updates: Optional[MPUpdatePayload] = None
+    foreign_kfs: Optional[ForeignKFPayload] = None
+    foreign_mps: Optional[ForeignMPPayload] = None
     erased_kf: Optional[np.ndarray] = None      # (E,) int32 local ids
     erased_mp: Optional[np.ndarray] = None
     closest_kf: int = -1                        # client's current ref KF
@@ -92,13 +122,17 @@ class MapDelta:
     scale: float = 1.0
     R_gw: Optional[np.ndarray] = None           # (3, 3)
     inertial: bool = False                      # sender runs VI odometry
+    # reliability: server->client cumulative ack of in-order-processed
+    # uplink seq (the reference's open-ack lists, Communicator.h:162-165)
+    ack_seq: int = -1
 
     def to_bytes(self) -> bytes:
         arrays: Dict[str, np.ndarray] = {}
         meta = {"agent": self.agent, "seq": self.seq,
                 "closest_kf": self.closest_kf, "scale": self.scale,
-                "inertial": self.inertial}
-        for name in ("kfs", "kf_updates", "mps", "mp_updates"):
+                "inertial": self.inertial, "ack_seq": self.ack_seq}
+        for name in ("kfs", "kf_updates", "mps", "mp_updates",
+                     "foreign_kfs", "foreign_mps"):
             obj = getattr(self, name)
             if obj is None:
                 continue
@@ -141,10 +175,13 @@ class MapDelta:
         return cls(agent=meta["agent"], seq=meta["seq"],
                    closest_kf=meta["closest_kf"], scale=meta["scale"],
                    inertial=meta.get("inertial", False),
+                   ack_seq=meta.get("ack_seq", -1),
                    kfs=build("kfs", KFPayload),
                    kf_updates=build("kf_updates", KFUpdatePayload),
                    mps=build("mps", MPPayload),
                    mp_updates=build("mp_updates", MPUpdatePayload),
+                   foreign_kfs=build("foreign_kfs", ForeignKFPayload),
+                   foreign_mps=build("foreign_mps", ForeignMPPayload),
                    erased_kf=arrays.get("erased_kf"),
                    erased_mp=arrays.get("erased_mp"),
                    R_gw=arrays.get("R_gw"))

@@ -184,3 +184,25 @@ def synthetic_mono(width: int = 640, height: int = 480) -> SystemConfig:
     cam = CameraConfig(width=width, height=height, fx=400.0, fy=400.0,
                        cx=width / 2.0, cy=height / 2.0)
     return SystemConfig(camera=cam)
+
+
+def tumvi_512() -> SystemConfig:
+    """TUM-VI 512x512 fisheye config (reference ros/conf/TUM_512.yaml,
+    src/CameraModels/KannalaBrandt8.cpp): Kannala-Brandt cam0 calibration
+    + IMU noise/extrinsics from the dataset's published camchain. The
+    dataset ships in the same ASL layout as EuRoC, so dataio.euroc loads
+    it unchanged."""
+    cam = CameraConfig(
+        width=512, height=512, fx=190.97847715128717, fy=190.9733070521226,
+        cx=254.93170605935475, cy=256.8974428996504, model="kb8",
+        kb=(0.0034823894022493434, 0.0007150348452162257,
+            -0.0020532361418706202, 0.00020293673591811182))
+    imu = IMUConfig(
+        rate_hz=200.0, gyro_noise=8.0e-5, acc_noise=1.4e-3,
+        gyro_walk=2.2e-6, acc_walk=8.6e-5,
+        # body-from-camera (cam0) extrinsics, TUM-VI camchain T_cam_imu^-1
+        T_bc=(-0.99952504, 0.00750192, -0.02989013, 0.04557484,
+              0.02961534, -0.03439736, -0.99896935, -0.07116180,
+              -0.00852233, -0.99938008, 0.03415885, -0.04468125,
+              0.0, 0.0, 0.0, 1.0))
+    return SystemConfig(sensor="mono_inertial", camera=cam, imu=imu)

@@ -111,17 +111,29 @@ def render_frame(points: np.ndarray, patches: np.ndarray, T_cw: np.ndarray,
                  K: np.ndarray, width: int, height: int,
                  background: float = 12.0, noise_std: float = 2.0,
                  rng: Optional[np.random.RandomState] = None,
-                 with_depth: bool = False):
+                 with_depth: bool = False, kb: Optional[tuple] = None):
     """Splat landmark patches at projected positions. Nearest landmarks are
     drawn last (painter's algorithm) so occlusion is roughly consistent.
-    With with_depth=True also returns a per-pixel depth map (0 = no data)."""
+    With with_depth=True also returns a per-pixel depth map (0 = no data).
+    kb: Kannala-Brandt k1..k4 — render through the equidistant fisheye
+    model instead of the pinhole (TUM-VI-style sequences)."""
     img = np.full((height, width), background, np.float32)
     dep = np.zeros((height, width), np.float32) if with_depth else None
     pc = points @ T_cw[:3, :3].T + T_cw[:3, 3]
     z = pc[:, 2]
     vis = z > 0.3
-    u = K[0, 0] * pc[:, 0] / np.maximum(z, 1e-6) + K[0, 2]
-    v = K[1, 1] * pc[:, 1] / np.maximum(z, 1e-6) + K[1, 2]
+    if kb is not None:
+        r = np.sqrt(pc[:, 0] ** 2 + pc[:, 1] ** 2) + 1e-9
+        theta = np.arctan2(r, z)
+        t2 = theta * theta
+        theta_d = theta * (1.0 + kb[0] * t2 + kb[1] * t2 ** 2
+                           + kb[2] * t2 ** 3 + kb[3] * t2 ** 4)
+        s = theta_d / r
+        u = K[0, 0] * s * pc[:, 0] + K[0, 2]
+        v = K[1, 1] * s * pc[:, 1] + K[1, 2]
+    else:
+        u = K[0, 0] * pc[:, 0] / np.maximum(z, 1e-6) + K[0, 2]
+        v = K[1, 1] * pc[:, 1] / np.maximum(z, 1e-6) + K[1, 2]
     half = PATCH // 2
     vis &= (u > half + 1) & (u < width - half - 2) & \
            (v > half + 1) & (v < height - half - 2)
@@ -162,10 +174,11 @@ def make_sequence(config, n_frames: int = 60, n_points: int = 600,
     else:
         raise ValueError(trajectory)
     rng = np.random.RandomState(seed + 1)
+    kb = tuple(cam.kb) if getattr(cam, "model", "pinhole") == "kb8" else None
     images, depths = [], []
     for i in range(n_frames):
         img, dep = render_frame(points, patches, T_cw[i], K, cam.width,
-                                cam.height, rng=rng, with_depth=True)
+                                cam.height, rng=rng, with_depth=True, kb=kb)
         images.append(img)
         depths.append(dep)
     images = np.stack(images)

@@ -95,11 +95,13 @@ def _select_level_keypoints(score: jnp.ndarray, n_out: int, cell: int,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "n_features", "n_levels",
-                     "scale_factor", "cell_size", "fast_hi", "fast_lo"))
+                     "scale_factor", "cell_size", "fast_hi", "fast_lo",
+                     "model"))
 def _extract_impl(img: jnp.ndarray, fx, fy, cx_, cy_, dist,
                   *, height: int, width: int, n_features: int,
                   n_levels: int, scale_factor: float, cell_size: int,
-                  fast_hi: float = 20.0, fast_lo: float = 7.0) -> FrameFeatures:
+                  fast_hi: float = 20.0, fast_lo: float = 7.0,
+                  model: str = "pinhole") -> FrameFeatures:
     counts = level_feature_counts(n_features, n_levels, scale_factor)
     levels = pyramid.build_pyramid(img, n_levels, scale_factor)
 
@@ -155,7 +157,20 @@ def _extract_impl(img: jnp.ndarray, fx, fy, cx_, cy_, dist,
         valid = jnp.pad(valid, (0, padn))
 
     K = cam.PinholeK(fx, fy, cx_, cy_)
-    uv_und = cam.undistort_pixels(K, uv, dist)
+    if model == "kb8":
+        # Kannala-Brandt fisheye (reference KannalaBrandt8.cpp, TUM-VI
+        # 512): keypoints are unprojected through the KB8 polynomial and
+        # re-projected onto the IDEAL pinhole K — from here the whole
+        # pipeline (matching, pose opt, BA) runs on the ideal model. The
+        # extreme periphery (ray angle > ~72 deg, where the pinhole
+        # rectification degenerates) is dropped via the bearing-z gate.
+        bearing = cam.kb8_unproject(K, dist[:4], uv)
+        bnorm = bearing / jnp.linalg.norm(bearing, axis=-1, keepdims=True)
+        central = bnorm[..., 2] > 0.3
+        uv_und = cam.project(K, bearing)
+        valid = valid & central
+    else:
+        uv_und = cam.undistort_pixels(K, uv, dist)
     return FrameFeatures(uv=uv, uv_und=uv_und, response=response, level=level,
                          angle=angle, desc=desc, valid=valid)
 
@@ -168,10 +183,12 @@ def extract_features(img: jnp.ndarray, config) -> FrameFeatures:
     """
     o = config.orb
     c = config.camera
+    dist = jnp.asarray(c.kb + (0.0,), jnp.float32) if c.model == "kb8" \
+        else jnp.asarray(c.dist, jnp.float32)
     return _extract_impl(
         img, jnp.float32(c.fx), jnp.float32(c.fy), jnp.float32(c.cx),
-        jnp.float32(c.cy), jnp.asarray(c.dist, jnp.float32),
+        jnp.float32(c.cy), dist,
         height=c.height, width=c.width, n_features=o.n_features,
         n_levels=o.n_levels, scale_factor=o.scale_factor,
         cell_size=o.cell_size, fast_hi=o.fast_threshold,
-        fast_lo=o.fast_threshold_min)
+        fast_lo=o.fast_threshold_min, model=c.model)

@@ -151,3 +151,55 @@ def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
     chi2 = _psum(jnp.sum(jnp.where(obs.valid & ~behind, c2, 0.0)),
                  axis_name) / n
     return GBAResult(poses=poses_f, points=points_f, chi2=chi2)
+
+
+def global_bundle_adjust_sharded(poses, fixed, points, point_valid,
+                                 obs: BAObservations, K: cam.PinholeK,
+                                 iters: int = 8, cg_iters: int = 40,
+                                 devices=None) -> GBAResult:
+    """Distributed entry: shard the observation list over `devices` (all
+    available by default), replicate poses/landmarks, and run
+    global_bundle_adjust under shard_map so every observation-level
+    reduction rides a psum over the mesh — the distributed
+    Schur-complement reduction of BASELINE.json (the reference's
+    server-global FullInertialBA over all agents' KFs with namespaced
+    vertex ids, Optimizer.h:104-112, is a single-process g2o solve; here
+    the same factor graph spreads across chips)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n == 1:
+        return global_bundle_adjust(poses, fixed, points, point_valid,
+                                    obs, K, iters=iters, cg_iters=cg_iters)
+    O = obs.kf.shape[0]
+    pad = (-O) % n
+    obs_p = BAObservations(
+        kf=jnp.pad(obs.kf, (0, pad)), pt=jnp.pad(obs.pt, (0, pad)),
+        uv=jnp.pad(obs.uv, ((0, pad), (0, 0))),
+        inv_sigma2=jnp.pad(obs.inv_sigma2, (0, pad)),
+        valid=jnp.pad(obs.valid, (0, pad)),
+        u_r=None if obs.u_r is None else
+        jnp.pad(obs.u_r, (0, pad), constant_values=-1.0))
+    mesh = Mesh(np.array(devices), ("obs",))
+    spec = BAObservations(
+        kf=P("obs"), pt=P("obs"), uv=P("obs"), inv_sigma2=P("obs"),
+        valid=P("obs"),
+        u_r=None if obs.u_r is None else P("obs"))
+
+    @jax.jit
+    def run(poses, fixed, points, point_valid, obs_in):
+        def inner(po, fx, pt, pv, o):
+            return global_bundle_adjust(po, fx, pt, pv, o, K, iters=iters,
+                                        cg_iters=cg_iters, axis_name="obs")
+        return shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), spec),
+            out_specs=GBAResult(poses=P(), points=P(), chi2=P()))(
+            poses, fixed, points, point_valid, obs_in)
+
+    obs_dev = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), obs_p, spec)
+    return run(poses, fixed, points, point_valid, obs_dev)

@@ -172,9 +172,14 @@ class MonoInertialSlam(MonoSlam):
 
     def _post_track(self, ts: float) -> None:
         if self.state == TrackState.OK:
-            if self.imu_initialized and self._prev_state is None:
-                # first OK frame after init / gauge change: re-anchor the
-                # velocity from body-position finite differences
+            if self.imu_initialized and self._prev_state is None \
+                    and not getattr(self, "_v_fresh", False):
+                # first OK frame after a reloc/new-map event with no
+                # usable velocity: re-anchor from body-position finite
+                # differences. NEVER at the IMU-init frame itself — there
+                # _last_ok_T is in the PRE-gauge frame (scale s apart) and
+                # the difference is garbage; init/window-BA already set a
+                # correct velocity (_v_fresh).
                 prev_ts = getattr(self, "_last_ok_ts", None)
                 prev_T = getattr(self, "_last_ok_T", None)
                 if prev_ts is not None and ts > prev_ts:
@@ -182,6 +187,7 @@ class MonoInertialSlam(MonoSlam):
                     p1 = self._T_wb(self.T_cur)[:3, 3]
                     self.v_cur = ((p1 - p0) / (ts - prev_ts)).astype(
                         np.float32)
+            self._v_fresh = False
             # anchor the next frame's VI optimization on this state
             self._prev_state = (self.T_cur.copy(), self.v_cur.copy(),
                                 self.bg.copy(), self.ba_bias.copy())
@@ -203,6 +209,10 @@ class MonoInertialSlam(MonoSlam):
         prev_n = int(self.m.n_kf)
         super()._insert_keyframe(feats, feat_mp, ts)
         if int(self.m.n_kf) > prev_n:       # insertion succeeded
+            # the inertial window BA consumes the mapped keyframe (new
+            # landmarks), so the deferred mapping result is adopted here —
+            # the inertial path stays synchronous
+            self._adopt_pending(force=True)
             k = int(self.m.n_kf) - 1
             self.kf_preint[k] = self._accum
             self.kf_velocity[k] = self.v_cur
@@ -255,6 +265,7 @@ class MonoInertialSlam(MonoSlam):
         v = np.asarray(res.velocities)
         self.kf_velocity[:n] = (R_wg.T @ v.T).T.astype(np.float32)
         self.v_cur = self.kf_velocity[n - 1]
+        self._v_fresh = True
         self.bg = np.asarray(res.bg)
         self.ba_bias = np.asarray(res.ba)
         self.imu_initialized = True
@@ -354,6 +365,7 @@ class MonoInertialSlam(MonoSlam):
         self.bg = np.asarray(res.bg[-1])
         self.ba_bias = np.asarray(res.ba[-1])
         self.v_cur = self.kf_velocity[k_last]
+        self._v_fresh = True
         self.T_cur = np.array(self.m.kf_pose[k_last])
         # refresh the VI anchor with the BA-refined state
         if self._prev_state is not None:

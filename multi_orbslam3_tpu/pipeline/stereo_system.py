@@ -106,14 +106,13 @@ class StereoSlam(MonoSlam):
         self.stats["mp_created"] += int(jnp.sum(slots >= 0))
 
     # ------------------------------------------------------------------
-    def _insert_keyframe(self, feats: FrameFeatures, feat_mp, ts) -> None:
-        prev_n = int(self.m.n_kf)
-        super()._insert_keyframe(feats, feat_mp, ts)
-        k = int(self.m.n_kf) - 1
-        if int(self.m.n_kf) == prev_n or self._cur_depth is None:
+    def _seed_depth_points(self, k: int, feats: FrameFeatures) -> None:
+        """Depth-seeded close points for unmatched features (the reference
+        creates the ~100 closest stereo points, Tracking.cc:2952-3081);
+        runs before the async mapping chain is dispatched so the
+        triangulation/BA window sees them."""
+        if self._cur_depth is None:
             return
-        # depth-seeded close points for unmatched features (the reference
-        # creates the ~100 closest stereo points, Tracking.cc:2952-3081)
         sd = self._cur_depth
         free = self.m.kf_feat_valid[k] & (self.m.kf_mp[k] == ms.NO_MP)
         close = sd.valid & free & (sd.depth > 0.1) & \

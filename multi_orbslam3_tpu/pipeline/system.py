@@ -50,17 +50,35 @@ class MonoSlam:
         # off (the server owns place recognition — reference mbNoLP=true,
         # src/LocalMapping.cc:40-45)
         self.loop_closer = None
+        self.reloc_voc = None
+        self.reloc_db = None
+        from multi_orbslam3_tpu.bow import vocabulary as vocm
+        voc = vocabulary if vocabulary is not None else \
+            vocm.default_vocabulary(config.bow.branching, config.bow.levels)
         if enable_loop_closing:
-            from multi_orbslam3_tpu.bow import vocabulary as vocm
             from multi_orbslam3_tpu.pipeline.loop_closing import LoopCloser
-            voc = vocabulary if vocabulary is not None else \
-                vocm.default_vocabulary(config.bow.branching, config.bow.levels)
             self.loop_closer = LoopCloser(
                 voc, config.map.max_keyframes,
                 consistency_hits=config.loop.consistency_hits)
+        else:
+            # the reference's clients keep their KeyFrameDatabase for
+            # relocalization even with loop closing disabled
+            # (mbNoLP=true, src/LocalMapping.cc:40-45) — without it a
+            # collaborative client could never relocalize
+            from multi_orbslam3_tpu.bow import database as dbm
+            self.reloc_voc = voc
+            self.reloc_db = dbm.KeyframeDatabase.empty(
+                config.map.max_keyframes, voc.n_words)
         self.state = TrackState.NOT_INITIALIZED
         self.T_cur = np.eye(4, dtype=np.float32)
         self.T_vel = np.eye(4, dtype=np.float32)
+        # deferred mapping (tracking || mapping overlap, SURVEY §2.9 axis
+        # 2): the per-KF mapping chain is DISPATCHED on insertion but its
+        # result is adopted at a later frame once device-ready — the
+        # frame loop never host-blocks on triangulation/fuse/BA (the
+        # reference runs LocalMapping as a free thread; here JAX's async
+        # dispatch plays that role and the host state machine polls)
+        self._pending_map = None     # (future MapState, kf slot, scalars)
         self.ref_kf = 0
         self.frames_since_kf = 0
         self.lost_count = 0
@@ -82,6 +100,7 @@ class MonoSlam:
         if self.trajectory and timestamp - self.trajectory[-1][0] > 4.0 \
                 and self.state != TrackState.NOT_INITIALIZED:
             self._create_new_map(reason="timestamp_jump")
+        self._adopt_pending()
         if self.state == TrackState.NOT_INITIALIZED:
             feats = extractor.extract_features(
                 jnp.asarray(img, jnp.float32), self.cfg)
@@ -161,6 +180,9 @@ class MonoSlam:
         if self.loop_closer is not None:
             self.m = self._loop_close(int(k0))
             self.m = self._loop_close(int(k1))
+        else:
+            self.add_to_reloc_db(self.m, int(k0))
+            self.add_to_reloc_db(self.m, int(k1))
         self.T_cur = np.asarray(self.m.kf_pose[int(k1)])
         self.T_vel = np.eye(4, dtype=np.float32)
         self.ref_kf = int(k1)
@@ -269,6 +291,7 @@ class MonoSlam:
         """Start a fresh sub-map in the Atlas (Tracking::CreateMapInAtlas,
         src/Tracking.cc:2400). Existing sub-maps stay queryable for
         relocalization / loop-driven merges."""
+        self._adopt_pending(force=True)
         self._next_map_id = max(getattr(self, "_next_map_id", 0),
                                 int(self.m.active_map)) + 1
         self.m = ms.switch_map(self.m, self._next_map_id)
@@ -281,6 +304,7 @@ class MonoSlam:
     def _reset_active_map(self) -> None:
         """Discard the immature active sub-map and re-initialize in place
         (Tracking::ResetActiveMap, src/Tracking.cc:3588)."""
+        self._adopt_pending(force=True)
         self.m = ms.erase_active_map(self.m)
         self.state = TrackState.NOT_INITIALIZED
         self._init_feats = None
@@ -289,17 +313,36 @@ class MonoSlam:
         self.stats["map_resets"] = self.stats.get("map_resets", 0) + 1
 
     # ------------------------------------------------------------------
+    def add_to_reloc_db(self, m, k: int) -> None:
+        """Register keyframe k's BoW vector in whichever relocalization
+        database this system runs (loop closer's shared db, or the
+        standalone reloc db when loop closing is off)."""
+        from multi_orbslam3_tpu.bow import database as dbm
+        if self.loop_closer is not None:
+            self.loop_closer.db, _ = dbm.add_keyframe_bow(
+                self.loop_closer.db, self.loop_closer.voc, jnp.int32(k),
+                m.kf_desc[k], m.kf_feat_valid[k])
+        elif self.reloc_db is not None:
+            self.reloc_db, _ = dbm.add_keyframe_bow(
+                self.reloc_db, self.reloc_voc, jnp.int32(k),
+                m.kf_desc[k], m.kf_feat_valid[k])
+
+    def _reloc_database(self):
+        if self.loop_closer is not None:
+            return self.loop_closer.db, self.loop_closer.voc
+        return self.reloc_db, self.reloc_voc
+
     def _relocalize(self, feats: FrameFeatures):
-        """Database-wide recovery: query the loop closer's BoW database for
-        the best-matching keyframe, solve the pose from scratch with RANSAC
+        """Database-wide recovery: query the BoW database for the
+        best-matching keyframe, solve the pose from scratch with RANSAC
         PnP (reference Tracking::Relocalization -> PnPsolver), and fall
         back to candidate-pose-seeded descriptor tracking."""
-        if self.loop_closer is None:
+        db, voc = self._reloc_database()
+        if db is None:
             return None
         import jax
         from multi_orbslam3_tpu.bow import database as dbm
-        scores = dbm.query(self.loop_closer.db, self.loop_closer.voc,
-                           feats.desc, feats.valid,
+        scores = dbm.query(db, voc, feats.desc, feats.valid,
                            jnp.zeros(self.m.max_kf, bool))
         best = int(jnp.argmax(scores))
         if float(scores[best]) < 0.02:
@@ -356,39 +399,66 @@ class MonoSlam:
         if k < 0:   # capacity reached
             return
         self.m = m
-        # fused mapping stage: neighbor top-k + triangulation scan + fuse +
-        # point-stat refresh in ONE device program (reference
-        # CreateNewMapPoints + SearchInNeighbors, src/LocalMapping.cc:520,
-        # 868 — the host loop over neighbors cost ~10 dispatch round-trips
-        # per keyframe on a tunneled TPU)
+        self._seed_depth_points(k, feats)
+        self._dispatch_mapping(k)
+        self.T_cur = np.asarray(self.T_cur)
+        self.ref_kf = k
+        self.frames_since_kf = 0
+        self.stats["kf_inserted"] += 1
+
+    def _seed_depth_points(self, k: int, feats: FrameFeatures) -> None:
+        """Hook: stereo/RGBD systems create depth-seeded landmarks for the
+        new keyframe here, BEFORE the mapping chain is dispatched."""
+
+    def _dispatch_mapping(self, k: int, defer: bool = True) -> None:
+        """Launch the per-KF mapping chain — fused triangulate/fuse/stat
+        stage (reference CreateNewMapPoints + SearchInNeighbors,
+        src/LocalMapping.cc:520,868) followed by the windowed BA
+        (Optimizer.cc:1810) — as ASYNC device work. Tracking keeps using
+        the map WITH the new keyframe but without its new landmarks until
+        the result is device-ready (the reference's tracking likewise
+        consumes LocalMapping output whenever its thread finishes)."""
+        if self._pending_map is not None:
+            self._adopt_pending(force=True)
         proc = local_mapping.process_new_keyframe(
             self.m, jnp.int32(k), self.K,
             n_neighbors=self.cfg.local_mapping.triangulation_neighbors,
             width=self.cfg.camera.width, height=self.cfg.camera.height,
             scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels)
-        self.m = proc.map
-        self.stats["mp_created"] += int(proc.n_created)
-        self.stats["mp_fused"] = self.stats.get("mp_fused", 0) + \
-            int(proc.n_fused)
         lm = self.cfg.local_mapping
         n_window = min(lm.local_ba_kfs, self.cfg.map.max_keyframes // 2)
         n_fixed = min(lm.local_ba_fixed_kfs,
                       self.cfg.map.max_keyframes - n_window)
         out = local_mapping.local_bundle_adjustment(
-            self.m, jnp.int32(k), self.K, n_window=n_window, n_fixed=n_fixed,
-            n_points=self._ba_points(),
+            proc.map, jnp.int32(k), self.K, n_window=n_window,
+            n_fixed=n_fixed, n_points=self._ba_points(),
             scale_factor=self.cfg.orb.scale_factor,
             iters=lm.local_ba_iters,
             covis_threshold=self.cfg.map.covis_threshold,
             bf=self._bf())
-        self.m = out.map
+        self._pending_map = (out.map, k, proc.n_created, proc.n_fused)
+        if not defer:
+            self._adopt_pending(force=True)
+
+    def _adopt_pending(self, force: bool = False) -> None:
+        """Swap in the finished mapping result (+ run loop closing on the
+        mapped keyframe). force=True blocks; otherwise adopt only when
+        the device is done so the frame loop never stalls."""
+        if self._pending_map is None:
+            return
+        m_new, k, n_created, n_fused = self._pending_map
+        if not force and not m_new.kf_pose.is_ready():
+            return
+        self._pending_map = None
+        self.m = m_new
+        self.stats["mp_created"] += int(n_created)
+        self.stats["mp_fused"] = self.stats.get("mp_fused", 0) + \
+            int(n_fused)
         if self.loop_closer is not None:
             self.m = self._loop_close(k)
-        self.T_cur = np.asarray(self.m.kf_pose[k])
-        self.ref_kf = k
-        self.frames_since_kf = 0
-        self.stats["kf_inserted"] += 1
+        else:
+            self.add_to_reloc_db(self.m, k)
 
     # ------------------------------------------------------------------
     def _loop_close(self, k: int):
@@ -407,6 +477,7 @@ class MonoSlam:
         """(timestamp, T_cw) per valid keyframe of the BIGGEST sub-map,
         ordered by slot id — the reference's SaveKeyFrameTrajectoryEuRoC
         semantics (it picks the biggest map, src/ServerSystem.cc:138-185)."""
+        self._adopt_pending(force=True)
         out = []
         n = int(self.m.n_kf)
         valid = np.asarray(self.m.kf_valid[:n])

@@ -185,3 +185,128 @@ class TestInertialUplink:
         # (rescaled) scene: translation doubles with identity R/t=0 -> stays 0
         np.testing.assert_allclose(np.array(server.m.kf_pose[kslot]),
                                    np.eye(4), atol=1e-5)
+
+
+@pytest.mark.slow
+class TestCrossAgentDownlink:
+    def test_client_tracks_foreign_landmarks(self):
+        """VERDICT #2 done-criterion: after the server merges two agents'
+        maps, the vicinity downlink ships agent A's keyframes/landmarks to
+        agent B (full payloads, server identity), B ingests them, and B's
+        live tracking locks onto A's landmarks (reference
+        Map::PackVicinityToMsg2 + ProcessKfInClient,
+        src/Map.cc:935-1042, src/Communicator.cc:1324-1477)."""
+        c = small_config()
+        seq0 = synthetic.make_sequence(c, n_frames=32, n_points=600, seed=11,
+                                       trajectory="forward", phase=0.0)
+        seq1 = synthetic.make_sequence(c, n_frames=32, n_points=600, seed=11,
+                                       trajectory="forward", phase=0.35)
+        tr = InProcessTransport()
+        c0 = CollabClient(c, agent_id=0, transport=tr)
+        c1 = CollabClient(c, agent_id=1, transport=tr)
+        server = CollabServer(c, tr, n_agents=2, arena_kf=192, arena_mp=8192)
+        for i in range(32):
+            c0.process_frame(seq0.images[i], float(seq0.timestamps[i]))
+            c1.process_frame(seq1.images[i], float(seq1.timestamps[i]))
+            c0.comm_cycle()
+            c1.comm_cycle()
+            server.comm_cycle()
+        assert server.stats["merges"] >= 1, f"no merge: {server.stats}"
+        # foreign content reached at least one client
+        total_fkf = c0.stats["foreign_kf"] + c1.stats["foreign_kf"]
+        total_fmp = c0.stats["foreign_mp"] + c1.stats["foreign_mp"]
+        assert total_fkf > 0, "no foreign keyframes downlinked"
+        assert total_fmp > 0, "no foreign landmarks downlinked"
+        # live tracking locked onto the other agent's landmarks
+        # (mp_found counts inlier associations, MapPoint::IncreaseFound)
+        found = 0
+        for cl in (c0, c1):
+            f = np.array(cl.slam.m.mp_found)
+            found += int(f[cl._is_foreign_mp].sum())
+        assert found > 0, "clients never tracked foreign landmarks"
+        # foreign entities were NOT re-uplinked as the client's own: every
+        # server-side mapping of agent k's landmarks is owned by agent k
+        for a, book in server.agents.items():
+            own = np.asarray(sorted(book.mp_l2s.values()))
+            if len(own):
+                owners = np.array(server.m.mp_agent)[own]
+                valid = np.array(server.m.mp_valid)[own]
+                assert np.all(owners[valid] == a)
+
+
+class LossyTransport(InProcessTransport):
+    """Drops and reorders a fraction of payloads in both directions —
+    the chaos harness for the ack/resend + reorder-buffer machinery."""
+
+    def __init__(self, drop=0.2, reorder=0.2, seed=0):
+        super().__init__()
+        self.rng = np.random.RandomState(seed)
+        self.drop = drop
+        self.reorder = reorder
+        self._delay_up = {}    # agent -> [payload]
+        self._delay_down = {}
+
+    def send_up(self, agent, payload):
+        if self.rng.rand() < self.drop:
+            return
+        if self.rng.rand() < self.reorder:
+            self._delay_up.setdefault(agent, []).append(payload)
+            return
+        super().send_up(agent, payload)
+        for p in self._delay_up.pop(agent, []):   # delayed -> out of order
+            super().send_up(agent, p)
+
+    def send_down(self, agent, payload):
+        if self.rng.rand() < self.drop:
+            return
+        if self.rng.rand() < self.reorder:
+            self._delay_down.setdefault(agent, []).append(payload)
+            return
+        super().send_down(agent, payload)
+        for p in self._delay_down.pop(agent, []):
+            super().send_down(agent, p)
+
+
+@pytest.mark.slow
+class TestMessageLossChaos:
+    def test_two_agent_run_survives_20pct_loss(self):
+        """VERDICT #10 done-criterion: drop/reorder 20% of deltas both
+        ways; the 2-agent run still converges — resends recover dropped
+        full payloads, the reorder buffer restores in-order ingest, and
+        tombstones keep late messages harmless (reference Map.cc:185-236,
+        Communicator.h:162-165)."""
+        c = small_config()
+        seq0 = synthetic.make_sequence(c, n_frames=30, n_points=600, seed=11,
+                                       trajectory="forward", phase=0.0)
+        seq1 = synthetic.make_sequence(c, n_frames=30, n_points=600, seed=11,
+                                       trajectory="forward", phase=0.35)
+        tr = LossyTransport(drop=0.2, reorder=0.2, seed=3)
+        c0 = CollabClient(c, agent_id=0, transport=tr)
+        c1 = CollabClient(c, agent_id=1, transport=tr)
+        server = CollabServer(c, tr, n_agents=2, arena_kf=192, arena_mp=8192)
+        for i in range(30):
+            c0.process_frame(seq0.images[i], float(seq0.timestamps[i]))
+            c1.process_frame(seq1.images[i], float(seq1.timestamps[i]))
+            c0.comm_cycle()
+            c1.comm_cycle()
+            server.comm_cycle()
+        # a few extra comm-only cycles drain resends
+        for _ in range(12):
+            c0.comm_cycle()
+            c1.comm_cycle()
+            server.comm_cycle()
+        assert c0.stats["resends"] + c1.stats["resends"] > 0, \
+            "chaos harness never triggered a resend"
+        # server eventually ingested (almost) all keyframes of both agents
+        n_kf_clients = sum(
+            int(np.sum(~cl._is_foreign_kf[:int(cl.slam.m.n_kf)]))
+            for cl in (c0, c1))
+        assert server.stats["kf_ingested"] >= n_kf_clients - 2, \
+            (server.stats["kf_ingested"], n_kf_clients)
+        assert server.stats["merges"] >= 1, f"no merge: {server.stats}"
+        # no corruption: every arena pose finite, no duplicate ingest
+        assert bool(jnp.all(jnp.isfinite(server.m.kf_pose)))
+        for cl in (c0, c1):
+            book = server.agents[cl.agent]
+            slots = list(book.kf_l2s.values())
+            assert len(slots) == len(set(slots)), "duplicate KF ingest"
