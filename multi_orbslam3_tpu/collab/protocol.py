@@ -15,8 +15,12 @@ struct-of-arrays payloads. Semantics preserved from the reference:
 - **Erasure tombstones**: erased ids travel in the envelope so late
   arrivals are dropped cleanly (Map.cc:185-236).
 
-Serialization: `to_bytes`/`from_bytes` pack the arrays with np.savez —
-the host-transport payload format (gRPC framing wraps these bytes).
+Serialization: `to_bytes`/`from_bytes` pack the arrays with the mo3
+codec (collab/codec.py — native C++ array-table format with CRC32
+integrity and zero-copy decode; pure-Python twin of the identical wire
+format as fallback). A corrupted/truncated frame raises at decode, the
+receiver drops it, and the sender's unacked-outbox resend covers the
+loss. Legacy np.savez payloads are still readable.
 """
 
 from __future__ import annotations
@@ -26,6 +30,8 @@ import io
 from typing import Dict, List, Optional
 
 import numpy as np
+
+from multi_orbslam3_tpu.collab import codec
 
 
 @dataclasses.dataclass
@@ -148,18 +154,18 @@ class MapDelta:
             arrays["erased_mp"] = self.erased_mp
         if self.R_gw is not None:
             arrays["R_gw"] = self.R_gw
-        arrays["__meta__"] = np.frombuffer(
-            repr(meta).encode(), dtype=np.uint8)
-        buf = io.BytesIO()
-        np.savez(buf, **arrays)
-        return buf.getvalue()
+        return codec.pack(meta, arrays)
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "MapDelta":
-        import ast
-        with np.load(io.BytesIO(data)) as z:
-            arrays = {k: z[k] for k in z.files}
-        meta = ast.literal_eval(bytes(arrays.pop("__meta__")).decode())
+        if data[:4] == b"MO3C":
+            meta, arrays = codec.unpack(data)
+            arrays = dict(arrays)
+        else:   # legacy np.savez payload (pre-codec checkpoints/captures)
+            import ast
+            with np.load(io.BytesIO(data)) as z:
+                arrays = {k: z[k] for k in z.files}
+            meta = ast.literal_eval(bytes(arrays.pop("__meta__")).decode())
 
         def build(name, klass):
             fields = {f.name for f in dataclasses.fields(klass)}

@@ -302,4 +302,49 @@ def bench_kernels() -> Dict:
     if pk.use_pallas():
         out["hamming_pallas_ms"] = round(
             timeit(jax.jit(pk.hamming_matrix), d1, d2), 3)
+    out["codec"] = _bench_codec(rng)
+    return out
+
+
+def _bench_codec(rng) -> Dict:
+    """Wire-codec round-trip at vicinity-downlink scale (50 KFs), native
+    C++ vs the pure-Python twin vs the old np.savez path. Both codec
+    impls are memcpy-bound and equivalent (numpy's tobytes/frombuffer/
+    crc32 are already C); the win over savez is the zero-copy decode +
+    CRC integrity."""
+    import io
+    import json as _json
+
+    from multi_orbslam3_tpu.collab import codec
+    arrays = {
+        "uv": rng.rand(50, 1024, 2).astype(np.float32),
+        "desc": rng.randint(0, 2 ** 32, (50, 1024, 8)).astype(np.uint32),
+        "level": rng.randint(0, 8, (50, 1024)).astype(np.int32),
+        "valid": rng.rand(50, 1024) > 0.2,
+        "T": rng.rand(50, 4, 4).astype(np.float32),
+    }
+    meta = {"agent": 0, "seq": 1}
+
+    def timeit_host(fn, n=50):
+        fn()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn()
+        return round((time.perf_counter() - t0) / n * 1e3, 3)
+
+    out: Dict = {"native_available": codec.native_available()}
+    frame = codec.pack(meta, arrays)
+    out["frame_mb"] = round(len(frame) / 2 ** 20, 2)
+    out["rt_ms"] = timeit_host(lambda: codec.unpack(codec.pack(meta, arrays)))
+    items = [(k.encode(), v) for k, v in arrays.items()]
+    mb = _json.dumps(meta).encode()
+    out["rt_py_ms"] = timeit_host(
+        lambda: codec._unpack_py(codec._pack_py(mb, items)))
+
+    def savez_rt():
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        with np.load(io.BytesIO(buf.getvalue())) as z:
+            return {k: z[k] for k in z.files}
+    out["rt_savez_ms"] = timeit_host(savez_rt)
     return out

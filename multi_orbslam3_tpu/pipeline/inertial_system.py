@@ -71,6 +71,11 @@ class MonoInertialSlam(MonoSlam):
         self._min_init_time = 2.0
         self._refine_time = 4.0              # VIBA2-analog refinement
         self._refined = False
+        # stereo/RGBD-inertial subclasses fix the scale: depth already
+        # pins the metric gauge, the init only estimates gravity
+        # direction + biases (the reference passes bFixedVel/priorG
+        # variants to InertialOptimization for IMU_STEREO)
+        self._fix_scale = False
 
     # ------------------------------------------------------------------
     def _need_keyframe(self, n_inliers: int) -> bool:
@@ -99,6 +104,14 @@ class MonoInertialSlam(MonoSlam):
                           dt: np.ndarray) -> TrackState:
         """acc/gyro: (S, 3) samples since the previous frame; dt: (S,)
         with zeros for padding (reference GrabImuData + PreintegrateIMU)."""
+        self._accumulate_imu(acc, gyro, dt)
+        return self.process_frame(img, timestamp)
+
+    def _accumulate_imu(self, acc: np.ndarray, gyro: np.ndarray,
+                        dt: np.ndarray) -> None:
+        """Preintegrate one inter-frame IMU window into the running
+        accumulators (any frame entry point — mono, stereo — feeds
+        through here)."""
         S_cap = self.cfg.imu.max_samples_per_frame
         acc = _pad_to(acc, S_cap)
         gyro = _pad_to(gyro, S_cap)
@@ -111,7 +124,6 @@ class MonoInertialSlam(MonoSlam):
         self._since_prev = window if self._since_prev is None else \
             pre.merge_preintegrated(self._since_prev, window)
         self._frame_window = window
-        return self.process_frame(img, timestamp)
 
     # ------------------------------------------------------------------
     def _pre_track(self, ts: float) -> None:
@@ -249,7 +261,7 @@ class MonoInertialSlam(MonoSlam):
             lambda *x: jnp.stack(x), *([pre.empty_preintegrated()] + preints))
         res = inertial_init.inertial_init(
             jnp.asarray(T_wb[:, :3, :3]), jnp.asarray(T_wb[:, :3, 3]),
-            stacked, G=self.cfg.imu.gravity,
+            stacked, G=self.cfg.imu.gravity, fix_scale=self._fix_scale,
             # SLAM poses carry cm-level noise, far above IMU noise
             pose_sigma=(1e-2, 5e-2, 5e-2))
         if not bool(jnp.isfinite(res.chi2)) or float(res.chi2) > 1e3:

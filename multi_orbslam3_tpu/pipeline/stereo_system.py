@@ -70,10 +70,13 @@ class StereoSlam(MonoSlam):
     def _process_with_depth(self, feats: FrameFeatures,
                             timestamp: float) -> TrackState:
         self.frame_id += 1
+        self._adopt_pending()
         if self.state == TrackState.NOT_INITIALIZED:
             self._depth_initialize(feats, timestamp)
         else:
+            self._pre_track(timestamp)
             self._track(feats, timestamp)
+            self._post_track(timestamp)
         self.trajectory.append((timestamp, np.asarray(self.T_cur)))
         return self.state
 
