@@ -243,7 +243,14 @@ class CollabClient:
             # mapping result first so adoption can't clobber them
             self.slam._adopt_pending(force=True)
         for payload in payloads:
-            delta = protocol.MapDelta.from_bytes(payload)
+            try:
+                delta = protocol.MapDelta.from_bytes(payload)
+            except ValueError:
+                # corrupted downlink frame: drop; the next cycle's
+                # vicinity/correction pass re-sends current state
+                self.stats["dropped_frames"] = \
+                    self.stats.get("dropped_frames", 0) + 1
+                continue
             if delta.ack_seq >= 0:
                 for seq in [s for s in self._outbox if s <= delta.ack_seq]:
                     del self._outbox[seq]

@@ -154,6 +154,32 @@ def unpack(data: bytes) -> Tuple[Dict, Dict[str, np.ndarray]]:
     return _unpack_py(data)
 
 
+def peek_meta(data: bytes) -> Dict:
+    """CRC-validate the frame and return ONLY the meta dict — O(header +
+    crc) instead of materializing the array table (used by receivers to
+    read the envelope seq before deciding to buffer/drop/ingest)."""
+    lib = _load_native()
+    if lib is not None:
+        meta_off = ctypes.c_uint32()
+        meta_len = ctypes.c_uint32()
+        n = lib.mo3_probe(data, len(data), ctypes.byref(meta_off),
+                          ctypes.byref(meta_len))
+        if n == -2:
+            raise ValueError("mo3 frame CRC mismatch")
+        if n < 0:
+            raise ValueError("not an mo3 frame")
+        return json.loads(
+            data[meta_off.value:meta_off.value + meta_len.value].decode())
+    if len(data) < _HDR.size or data[:4] != _MAGIC:
+        raise ValueError("not an mo3 frame")
+    _, ver, _f, _n, meta_len, crc = _HDR.unpack_from(data)
+    if ver != _VERSION:
+        raise ValueError("mo3 version mismatch")
+    if zlib.crc32(data[_HDR.size:]) & 0xFFFFFFFF != crc:
+        raise ValueError("mo3 frame CRC mismatch")
+    return json.loads(data[_HDR.size:_HDR.size + meta_len].decode())
+
+
 # ---------------------------------------------------------------------------
 def _pack_native(lib, meta_b: bytes, items) -> bytes:
     n = len(items)

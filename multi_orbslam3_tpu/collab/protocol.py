@@ -110,6 +110,14 @@ class ForeignMPPayload:
     desc: np.ndarray            # (B, 8) uint32
 
 
+def peek_seq(data: bytes) -> int:
+    """Envelope seq of a wire frame WITHOUT decoding the array table
+    (CRC-validated). Raises ValueError on corrupted/unknown frames."""
+    if data[:4] == b"MO3C":
+        return int(codec.peek_meta(data)["seq"])
+    return MapDelta.from_bytes(data).seq    # legacy savez payload
+
+
 @dataclasses.dataclass
 class MapDelta:
     """The per-cycle envelope (Map.msg analog)."""
@@ -162,10 +170,14 @@ class MapDelta:
             meta, arrays = codec.unpack(data)
             arrays = dict(arrays)
         else:   # legacy np.savez payload (pre-codec checkpoints/captures)
-            import ast
-            with np.load(io.BytesIO(data)) as z:
-                arrays = {k: z[k] for k in z.files}
-            meta = ast.literal_eval(bytes(arrays.pop("__meta__")).decode())
+            try:
+                import ast
+                with np.load(io.BytesIO(data)) as z:
+                    arrays = {k: z[k] for k in z.files}
+                meta = ast.literal_eval(
+                    bytes(arrays.pop("__meta__")).decode())
+            except Exception as e:      # noqa: BLE001 — any malformed frame
+                raise ValueError(f"undecodable frame: {e}") from e
 
         def build(name, klass):
             fields = {f.name for f in dataclasses.fields(klass)}

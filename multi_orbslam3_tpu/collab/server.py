@@ -101,6 +101,93 @@ class CollabServer:
                       "loops": 0, "dropped_kf": 0, "gba_runs": 0}
 
     # ==================================================================
+    # checkpoint / resume (the reference's SaveMap scaffolding is dead
+    # code, src/ClientHandler.cc:153-167; here the whole server session —
+    # arena, inverted file, per-agent books, reliability state — is one
+    # npz + json blob, so a crashed server resumes where it stopped)
+    # ==================================================================
+    def save_checkpoint(self, path: str) -> None:
+        import json as _json
+        arrays = {f"map.{n}": np.asarray(getattr(self.m, n))
+                  for n in self.m._fields}
+        arrays.update({
+            "kf_map": self.kf_map, "mp_map": self.mp_map,
+            "kf_local": self.kf_local,
+            "db.bow": np.asarray(self.db.bow),
+            "db.active": np.asarray(self.db.active),
+            "db.agent": np.asarray(self.db.agent),
+        })
+        books = {}
+        for a, b in self.agents.items():
+            books[str(a)] = {
+                "kf_l2s": list(b.kf_l2s.items()),
+                "mp_l2s": list(b.mp_l2s.items()),
+                "map_id": b.map_id, "inertial": b.inertial,
+                "last_kf_slot": b.last_kf_slot, "closest_kf": b.closest_kf,
+                "dirty_kfs": [int(x) for x in b.dirty_kfs],
+                "erased_out": [int(x) for x in b.erased_out],
+                "sent_foreign_kf": sorted(int(x)
+                                          for x in b.sent_foreign_kf),
+                "sent_foreign_mp": sorted(int(x)
+                                          for x in b.sent_foreign_mp),
+                "next_seq": b.next_seq,
+                "erased_kf_tomb": sorted(int(x) for x in b.erased_kf_tomb),
+                "erased_mp_tomb": sorted(int(x) for x in b.erased_mp_tomb),
+                # in-flight payloads: `pending` frames are past the
+                # cumulative ack (the client will NOT resend them) and
+                # `ooo` frames would be discarded as duplicates on
+                # resend, so both must survive the checkpoint
+                "n_pending": len(b.pending),
+                "ooo_seqs": sorted(b.ooo),
+            }
+            for i, p in enumerate(b.pending):
+                arrays[f"pending.{a}.{i}"] = np.frombuffer(p, np.uint8)
+            for seq, p in b.ooo.items():
+                arrays[f"ooo.{a}.{seq}"] = np.frombuffer(p, np.uint8)
+        host = {"books": books, "next_map_id": self._next_map_id,
+                "stats": self.stats, "n_agents": self.n_agents}
+        arrays["__host__"] = np.frombuffer(
+            _json.dumps(host).encode(), dtype=np.uint8)
+        np.savez_compressed(path, **arrays)
+
+    def load_checkpoint(self, path: str) -> None:
+        import json as _json
+        with np.load(path) as z:
+            data = {k: z[k] for k in z.files}
+        host = _json.loads(bytes(data.pop("__host__")).decode())
+        self.m = self.m._replace(**{
+            n: jnp.asarray(data[f"map.{n}"]) for n in self.m._fields})
+        self.kf_map = data["kf_map"]
+        self.mp_map = data["mp_map"]
+        self.kf_local = data["kf_local"]
+        self.db = self.db._replace(bow=jnp.asarray(data["db.bow"]),
+                                   active=jnp.asarray(data["db.active"]),
+                                   agent=jnp.asarray(data["db.agent"]))
+        self._next_map_id = host["next_map_id"]
+        self.stats = host["stats"]
+        self.agents = {}
+        for a_str, bk in host["books"].items():
+            b = AgentBook()
+            b.kf_l2s = {int(k): int(v) for k, v in bk["kf_l2s"]}
+            b.mp_l2s = {int(k): int(v) for k, v in bk["mp_l2s"]}
+            b.map_id = bk["map_id"]
+            b.inertial = bk["inertial"]
+            b.last_kf_slot = bk["last_kf_slot"]
+            b.closest_kf = bk["closest_kf"]
+            b.dirty_kfs = bk["dirty_kfs"]
+            b.erased_out = bk["erased_out"]
+            b.sent_foreign_kf = set(bk["sent_foreign_kf"])
+            b.sent_foreign_mp = set(bk["sent_foreign_mp"])
+            b.next_seq = bk["next_seq"]
+            b.erased_kf_tomb = set(bk["erased_kf_tomb"])
+            b.erased_mp_tomb = set(bk["erased_mp_tomb"])
+            b.pending = [bytes(data[f"pending.{a_str}.{i}"])
+                         for i in range(bk.get("n_pending", 0))]
+            b.ooo = {seq: bytes(data[f"ooo.{a_str}.{seq}"])
+                     for seq in bk.get("ooo_seqs", [])}
+            self.agents[int(a_str)] = b
+
+    # ==================================================================
     # ingest
     # ==================================================================
     def comm_cycle(self, run_gba_on_events: bool = False) -> None:
@@ -114,7 +201,15 @@ class CollabServer:
             # ordering from TCPROS; over a lossy transport the ack/resend
             # + reorder buffer reproduces it)
             for p in self.transport.poll_up(a):
-                seq = protocol.MapDelta.from_bytes(p).seq
+                try:
+                    # CRC-validated envelope peek (no array decode): a
+                    # corrupted/truncated frame is dropped here and the
+                    # client's unacked-outbox resend recovers it
+                    seq = protocol.peek_seq(p)
+                except ValueError:
+                    self.stats["dropped_frames"] = \
+                        self.stats.get("dropped_frames", 0) + 1
+                    continue
                 if seq < book.next_seq:
                     continue                   # duplicate resend
                 book.ooo[seq] = p
@@ -129,7 +224,12 @@ class CollabServer:
                 if kf_budget <= 0 and mp_budget <= 0:
                     book.pending.append(p)
                     continue
-                delta = protocol.MapDelta.from_bytes(p)
+                try:
+                    delta = protocol.MapDelta.from_bytes(p)
+                except ValueError:
+                    self.stats["dropped_frames"] = \
+                        self.stats.get("dropped_frames", 0) + 1
+                    continue
                 used_kf, used_mp = self._ingest_delta(a, delta)
                 kf_budget -= used_kf
                 mp_budget -= used_mp

@@ -179,6 +179,24 @@ def euroc_mono() -> SystemConfig:
     return SystemConfig()
 
 
+def euroc_mono_inertial() -> SystemConfig:
+    """EuRoC mono-inertial config: cam0 intrinsics + the dataset's
+    camera-IMU extrinsics (mav0/cam0/sensor.yaml T_BS = body-from-camera;
+    the reference reads the same matrix as Tbc from its yaml,
+    include/ImuTypes.h:71). IMU noise densities are EuRoC's published
+    values (= IMUConfig defaults)."""
+    return SystemConfig(
+        sensor="mono_inertial",
+        imu=IMUConfig(T_bc=(
+            0.0148655429818, -0.999880929698, 0.00414029679422,
+            -0.0216401454975,
+            0.999557249008, 0.0149672133247, 0.025715529948,
+            -0.064676986768,
+            -0.0257744366974, 0.00375618835797, 0.999660727178,
+            0.00981073058949,
+            0.0, 0.0, 0.0, 1.0)))
+
+
 def synthetic_mono(width: int = 640, height: int = 480) -> SystemConfig:
     """Small synthetic-world config used by tests and the benchmark."""
     cam = CameraConfig(width=width, height=height, fx=400.0, fy=400.0,

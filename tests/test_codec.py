@@ -55,6 +55,22 @@ def test_python_fallback_format_identical():
             assert np.array_equal(a2[k], v)
 
 
+def test_peek_meta():
+    meta, arrays = _table()
+    frame = codec.pack(meta, arrays)
+    assert codec.peek_meta(frame) == meta
+    bad = bytearray(frame)
+    bad[-1] ^= 0x01
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        codec.peek_meta(bytes(bad))
+    from multi_orbslam3_tpu.collab import protocol
+    d = protocol.MapDelta(agent=1, seq=42)
+    assert protocol.peek_seq(d.to_bytes()) == 42
+    with _pytest.raises(ValueError):
+        protocol.peek_seq(b"PK\x03\x04 not a real zip")
+
+
 def test_crc_rejects_corruption():
     meta, arrays = _table()
     frame = bytearray(codec.pack(meta, arrays))
