@@ -30,8 +30,12 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--gba", action="store_true",
                     help="run server global BA after merge events")
+    ap.add_argument("--inertial", default="",
+                    help="comma-separated agent ids running mono-inertial "
+                         "(the reference's IMU_MONOCULAR collab mode)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    inertial_ids = {int(x) for x in args.inertial.split(",") if x != ""}
 
     import numpy as np
 
@@ -43,19 +47,30 @@ def main() -> None:
     from multi_orbslam3_tpu.eval import ate, viewer
 
     c = cfg.synthetic_mono()
-    seqs = [synthetic.make_sequence(c, n_frames=args.frames, n_points=800,
-                                    seed=31, trajectory="forward",
-                                    phase=0.35 * a)
-            for a in range(args.agents)]
+    seqs = [synthetic.make_sequence(
+        c, n_frames=args.frames, n_points=800, seed=31,
+        trajectory="forward", phase=0.35 * a, imu=a in inertial_ids,
+        lateral=0.8 if a in inertial_ids else 0.4,
+        sway_freq=0.15 if a in inertial_ids else 0.08)
+        for a in range(args.agents)]
     tr = InProcessTransport()
-    clients = [CollabClient(c, a, tr) for a in range(args.agents)]
+    clients = [CollabClient(c, a, tr, inertial=a in inertial_ids)
+               for a in range(args.agents)]
     server = CollabServer(c, tr, n_agents=args.agents)
 
     t0 = time.perf_counter()
     for i in range(args.frames):
         for a, cl in enumerate(clients):
-            cl.process_frame(seqs[a].images[i],
-                             float(seqs[a].timestamps[i]))
+            t = float(seqs[a].timestamps[i])
+            if a in inertial_ids:
+                dt = np.diff(seqs[a].imu_t[i],
+                             prepend=seqs[a].imu_t[i][0] - 1 / 200.0)
+                dt = np.where(seqs[a].imu_t[i] > 0, np.maximum(dt, 0), 0)
+                cl.process_frame_imu(seqs[a].images[i], t,
+                                     seqs[a].imu_acc[i],
+                                     seqs[a].imu_gyro[i], dt)
+            else:
+                cl.process_frame(seqs[a].images[i], t)
             cl.comm_cycle()
         server.comm_cycle(run_gba_on_events=args.gba)
     wall = time.perf_counter() - t0

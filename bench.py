@@ -77,10 +77,24 @@ def main() -> None:
 
 
 def _gba_scaling_sweep(log):
-    """GBA iters/s at 1/2/4/8 devices (virtual CPU mesh via subprocess —
-    the only multi-device surface on a 1-chip machine; real-ICI scaling
-    uses the same shard_map path). Efficiency at N =
-    rate_N / (N * rate_1)."""
+    """Distributed-GBA behavior on the virtual CPU mesh (subprocess per
+    N; the only multi-device surface on a 1-chip machine).
+
+    HONESTY NOTE: virtual devices PARTITION one CPU's cores, so
+    wall-clock speedup at N>1 is structurally impossible here — any
+    "efficiency" number from this machine would measure thread
+    contention, not ICI scaling. What this sweep does measure:
+
+    - iters/s of the SAME shard_map program at N=1/2/4/8 — flat means
+      the collective cost stays O(Kc*6) per CG iteration (the
+      landmark-aligned decomposition), not O(P);
+    - shard_overhead = t_sharded(1 dev) / t_single(1 dev) — the cost of
+      entering shard_map at all;
+    - the analytic per-CG-iteration collective traffic, which is what
+      actually rides the ICI on a pod.
+
+    True ≥0.8-efficiency measurement needs N physical chips; the driver
+    dryrun validates this exact code path multi-device."""
     import subprocess
     out = {}
     rate1 = None
@@ -102,11 +116,26 @@ def _gba_scaling_sweep(log):
             rate = rec["gba_iters_per_s"]
             if n == 1:
                 rate1 = rate
-            out[f"iters_per_s_{n}dev"] = rate
+                if rec.get("single_path_iters_per_s"):
+                    out["single_path_iters_per_s"] = \
+                        rec["single_path_iters_per_s"]
+                    out["shard_overhead_1dev"] = round(
+                        rec["single_path_iters_per_s"] / rate, 2)
+            out[f"iters_per_s_{n}dev_sharded"] = rate
             if rate1:
-                out[f"efficiency_{n}dev"] = round(rate / (n * rate1), 3)
+                out[f"rate_vs_1dev_{n}dev"] = round(rate / rate1, 3)
         except Exception as e:  # noqa: BLE001
             out[f"error_{n}dev"] = str(e)[:200]
+    # analytic collective traffic per CG iteration (what rides the ICI):
+    # landmark-aligned -> one (Kc,6) psum; naive obs-sharding would add
+    # a (P,3) psum per matvec
+    Kc, P = 48, 3072     # the sweep arena (make_server_arena defaults)
+    out["collective_bytes_per_cg_iter"] = Kc * 6 * 4
+    out["collective_bytes_naive"] = (Kc * 6 + P * 3) * 4
+    out["virtual_mesh_note"] = (
+        "virtual CPU devices share one CPU's cores: speedup at N>1 is "
+        "structurally impossible on this machine; flat iters/s across N "
+        "demonstrates O(Kc) collective cost. ICI scaling needs a pod.")
     return out
 
 

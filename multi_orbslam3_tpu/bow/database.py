@@ -51,6 +51,31 @@ def add_keyframe_bow(db: KeyframeDatabase, voc: Vocabulary, slot,
 
 
 @jax.jit
+def add_keyframes_bow_batch(db: KeyframeDatabase, voc: Vocabulary,
+                            slots: jnp.ndarray, desc: jnp.ndarray,
+                            valid: jnp.ndarray, agents: jnp.ndarray
+                            ) -> KeyframeDatabase:
+    """Batched row insert: slots (B,) with -1 for padding rows (routed to
+    a sacrificial scatter slot); desc (B, N, 8); valid (B, N). One vmapped
+    tree descent + one scatter per server comm cycle instead of per-KF
+    dispatches."""
+    max_kf = db.bow.shape[0]
+    v = jax.vmap(lambda d, m: bow_vector(voc, assign_words(voc, d, m)))(
+        desc, valid)
+    ok = slots >= 0
+    safe = jnp.where(ok, slots, max_kf)
+
+    def scat(arr, vals):
+        ext = jnp.concatenate([arr, jnp.zeros_like(arr[:1])], 0)
+        return ext.at[safe].set(vals.astype(arr.dtype))[:max_kf]
+
+    return KeyframeDatabase(
+        bow=scat(db.bow, v),
+        active=scat(db.active, ok),
+        agent=scat(db.agent, agents))
+
+
+@jax.jit
 def erase_keyframe_bow(db: KeyframeDatabase, slot) -> KeyframeDatabase:
     return db._replace(bow=db.bow.at[slot].set(0.0),
                        active=db.active.at[slot].set(False))

@@ -236,12 +236,24 @@ class CollabClient:
     # ------------------------------------------------------------------
     def _ingest_corrections(self) -> None:
         """Apply server downlink: only pose-locked updates
-        (ProcessKfInClient, src/Communicator.cc:1324-1403)."""
+        (ProcessKfInClient, src/Communicator.cc:1324-1403). After a
+        correction batch, the gauge change it implies is PROPAGATED to
+        every not-yet-corrected local entity (fresh keyframes, unsent
+        landmarks, the live pose/velocity) — the client-side analog of
+        the reference's CorrectLoop/GBA spanning-tree propagation to
+        entities created meanwhile (src/LoopClosing.cc:2619+). Without
+        this, a merge that re-gauges the map splits the client's frame
+        in two: old keyframes jump to the server gauge while live
+        odometry keeps extending the old one."""
         payloads = self.transport.poll_down(self.agent)
         if payloads:
             # corrections mutate slam.m — fold in any in-flight deferred
             # mapping result first so adoption can't clobber them
             self.slam._adopt_pending(force=True)
+            self._locked_before = np.array(self.slam.m.kf_pose_locked)
+            self._old_poses = np.array(self.slam.m.kf_pose)
+            self._corrected_now: set = set()
+            self._mp_updated_now: set = set()
         for payload in payloads:
             try:
                 delta = protocol.MapDelta.from_bytes(payload)
@@ -266,6 +278,8 @@ class CollabClient:
                         kf_pose_locked=m.kf_pose_locked.at[ids].set(True))
                     self.stats["corrections_applied"] += int(apply.sum())
                     self._sent_kf_pose[ku.local_id[apply]] = ku.T_abs[apply]
+                    self._corrected_now.update(
+                        int(i) for i in ku.local_id[apply])
             if delta.mp_updates is not None:
                 mu = delta.mp_updates
                 apply = np.asarray(mu.locked, bool)
@@ -274,6 +288,8 @@ class CollabClient:
                     m = m._replace(mp_pos=m.mp_pos.at[ids].set(
                         jnp.asarray(mu.pos_abs[apply])))
                     self._sent_mp_pos[mu.local_id[apply]] = mu.pos_abs[apply]
+                    self._mp_updated_now.update(
+                        int(i) for i in mu.local_id[apply])
             if delta.erased_kf is not None:
                 # server culled these keyframes (ProcessErasedKf flow)
                 for lid in delta.erased_kf:
@@ -283,9 +299,87 @@ class CollabClient:
                         m = ms.erase_keyframe(m, jnp.int32(lid))
             m = self._ingest_foreign(m, delta)
             self.slam.m = m
-            self.slam.T_cur = np.array(self.slam.m.kf_pose[self.slam.ref_kf]) \
-                if bool(self.slam.m.kf_pose_locked[self.slam.ref_kf]) \
-                else self.slam.T_cur
+        if payloads and self._corrected_now:
+            self._propagate_correction()
+
+    # ------------------------------------------------------------------
+    def _propagate_correction(self) -> None:
+        """Estimate the world-gauge change implied by this batch of
+        corrected keyframes (similarity from old to new camera centers)
+        and apply it to everything the server did NOT correct: unlocked
+        fresh keyframes, landmarks the server doesn't know yet, and the
+        live pose/velocity. Keeps the client's frame consistent through
+        merges that re-gauge (incl. scale) its map."""
+        from multi_orbslam3_tpu.eval.ate import umeyama_align
+        corr = sorted(self._corrected_now)
+        old_T = self._old_poses[corr]
+        new_T = np.array(self.slam.m.kf_pose)[corr]
+        if np.allclose(old_T, new_T, atol=1e-7):
+            return                          # refinement-free ack cycle
+        c_old = np.stack([-T[:3, :3].T @ T[:3, 3] for T in old_T])
+        c_new = np.stack([-T[:3, :3].T @ T[:3, 3] for T in new_T])
+        if len(corr) >= 3 and \
+                np.linalg.matrix_rank(c_old - c_old.mean(0)) >= 2:
+            s, R_w, t_w = umeyama_align(c_old, c_new, with_scale=True)
+        else:
+            # single/degenerate set: rigid per-KF transform of the newest
+            # corrected KF (scale unobservable -> 1)
+            T_o, T_n = old_T[-1], new_T[-1]
+            W = np.linalg.inv(T_n) @ T_o      # p_new = W p_old
+            s, R_w, t_w = 1.0, W[:3, :3], W[:3, 3]
+        if s <= 0 or not np.isfinite(s):
+            return
+        m = self.slam.m
+        n_kf = int(m.n_kf)
+        n_mp = int(m.n_mp)
+        # keyframes to move: own, valid, not locked before, not corrected
+        move_kf = np.zeros(m.kf_pose.shape[0], bool)
+        move_kf[:n_kf] = np.array(m.kf_valid[:n_kf])
+        move_kf &= ~self._locked_before
+        move_kf[list(self._corrected_now)] = False
+        move_kf &= ~self._is_foreign_kf
+        # landmarks to move: own, valid, not updated by the server now
+        # and never sent to it (the server re-corrects everything it
+        # knows; only local-fresh points must be carried over by hand)
+        move_mp = np.zeros(m.mp_pos.shape[0], bool)
+        move_mp[self._sent_mp:n_mp] = True
+        move_mp &= np.array(m.mp_valid)
+        move_mp[list(self._mp_updated_now)] = False
+        move_mp &= ~self._is_foreign_mp
+        if move_kf.any() or move_mp.any():
+            sR = (s * R_w).astype(np.float32)
+            # camera pose: T_new = T_old o W^-1; with a similarity W the
+            # camera rotation stays orthonormal and translation scales:
+            # R_n = R_o R_w^T, t_n = s t_o - R_n t_w... derive via centers:
+            # c_new = s R_w c_old + t_w, R_new = R_old R_w^T.
+            poses = np.array(m.kf_pose)
+            for k in np.nonzero(move_kf)[0]:
+                R_o, t_o = poses[k, :3, :3], poses[k, :3, 3]
+                c_o = -R_o.T @ t_o
+                c_n = s * R_w @ c_o + t_w
+                R_n = R_o @ R_w.T
+                poses[k, :3, :3] = R_n
+                poses[k, :3, 3] = -R_n @ c_n
+            mp = np.array(m.mp_pos)
+            idx = np.nonzero(move_mp)[0]
+            mp[idx] = (mp[idx] @ sR.T) + t_w
+            self.slam.m = m._replace(kf_pose=jnp.asarray(poses),
+                                     mp_pos=jnp.asarray(mp))
+        # live pose follows the gauge (reference UpdateFrameIMU +
+        # CorrectLoop propagation, src/Tracking.cc:3726)
+        T_o = np.asarray(self.slam.T_cur)
+        R_o, t_o = T_o[:3, :3], T_o[:3, 3]
+        c_n = s * R_w @ (-R_o.T @ t_o) + t_w
+        R_n = R_o @ R_w.T
+        T_n = np.eye(4, dtype=np.float32)
+        T_n[:3, :3] = R_n
+        T_n[:3, 3] = -R_n @ c_n
+        self.slam.T_cur = T_n
+        self.slam.T_vel = np.eye(4, dtype=np.float32)
+        if hasattr(self.slam, "v_cur"):
+            self.slam.v_cur = (s * (R_w @ self.slam.v_cur)).astype(
+                np.float32)
+            self.slam._prev_state = None
 
     # ------------------------------------------------------------------
     def _merge_preint_over(self, lid: int) -> None:

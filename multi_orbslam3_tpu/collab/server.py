@@ -277,25 +277,36 @@ class CollabServer:
         return n_kf, n_mp
 
     def _ingest_kfs(self, agent: int, kfs: protocol.KFPayload) -> int:
+        """Batched keyframe ingest: the host resolves identities and the
+        relative-pose fallback chain (KeyFrame::SetPoseFromMessage,
+        KeyFrame.cc:2243-2380), then ONE compiled program writes every
+        accepted keyframe and ONE batched BoW insert fills the database —
+        instead of per-KF device dispatches (the round-1 server
+        bottleneck)."""
         book = self.agents[agent]
         B = kfs.local_id.shape[0]
-        count = 0
+        n_kf0 = int(self.m.n_kf)
+        kf_pose_host = None         # lazily fetched once per payload
+        accepted = []               # (b, lid, T_abs, parent_slot)
+        inbatch = {}                # lid -> position in `accepted`
         for b in range(B):
             lid = int(kfs.local_id[b])
             if lid in book.kf_l2s or lid in book.erased_kf_tomb:
                 continue      # duplicate, or erased before it arrived
-            # resolve pose: first available reference in the fallback chain
-            # (KeyFrame::SetPoseFromMessage, KeyFrame.cc:2243-2380)
             T_abs = None
             if bool(kfs.is_first[b]) or book.map_id < 0:
                 T_abs = kfs.T_abs[b]
             else:
                 for r in range(3):
                     rid = int(kfs.ref_ids[b, r])
+                    if rid in inbatch:          # reference is in this batch
+                        T_abs = kfs.T_rel[b, r] @ accepted[inbatch[rid]][2]
+                        break
                     slot = book.kf_l2s.get(rid)
                     if slot is not None:
-                        T_ref = np.array(self.m.kf_pose[slot])
-                        T_abs = kfs.T_rel[b, r] @ T_ref
+                        if kf_pose_host is None:
+                            kf_pose_host = np.array(self.m.kf_pose)
+                        T_abs = kfs.T_rel[b, r] @ kf_pose_host[slot]
                         break
             if T_abs is None:
                 self.stats["dropped_kf"] += 1
@@ -303,25 +314,52 @@ class CollabServer:
             if book.map_id < 0:
                 book.map_id = self._next_map_id
                 self._next_map_id += 1
-            feats = FrameFeatures(
-                uv=jnp.asarray(kfs.uv[b]), uv_und=jnp.asarray(kfs.uv[b]),
-                response=jnp.ones(kfs.uv.shape[1], jnp.float32),
-                level=jnp.asarray(kfs.level[b]),
-                angle=jnp.asarray(kfs.angle[b]),
-                desc=jnp.asarray(kfs.desc[b]),
-                valid=jnp.asarray(kfs.feat_valid[b]))
-            # landmark associations that already resolve; defer the rest
-            assoc = np.full(kfs.mp_local.shape[1], ms.NO_MP, np.int32)
-            parent_slot = book.kf_l2s.get(int(kfs.ref_ids[b, 2]), -1) \
-                if kfs.ref_ids[b, 2] >= 0 else book.last_kf_slot
-            self.m, slot = ms.add_keyframe(
-                self.m, feats, jnp.asarray(T_abs),
-                float(kfs.timestamp[b]), jnp.asarray(assoc),
-                parent_slot, agent)
-            slot_i = int(slot)
-            if slot_i < 0:
+            pos = len(accepted)
+            rid2 = int(kfs.ref_ids[b, 2])
+            if rid2 >= 0:
+                parent_slot = n_kf0 + inbatch[rid2] if rid2 in inbatch \
+                    else book.kf_l2s.get(rid2, -1)
+            else:
+                parent_slot = book.last_kf_slot
+            accepted.append((b, lid, T_abs, parent_slot))
+            inbatch[lid] = pos
+            book.last_kf_slot = n_kf0 + pos     # provisional slot
+        if not accepted:
+            return 0
+        # fixed-width batch (one compilation per payload width class)
+        cap = self.cfg.comm.server_kf_bound
+        Bp = min(cap, max(8, 1 << (len(accepted) - 1).bit_length()))
+        Bp = max(Bp, len(accepted))
+        bs = [a[0] for a in accepted]
+        pad = list(range(len(accepted), Bp))
+        sel = np.asarray(bs + [bs[0]] * len(pad))
+        poses = np.stack([a[2] for a in accepted]
+                         + [np.eye(4, dtype=np.float32)] * len(pad))
+        parents = np.asarray([a[3] for a in accepted] + [-1] * len(pad),
+                             np.int32)
+        assocs = np.full((Bp, kfs.mp_local.shape[1]), ms.NO_MP, np.int32)
+        self.m, slots = ms.add_keyframes_batch(
+            self.m, jnp.asarray(poses.astype(np.float32)),
+            jnp.asarray(kfs.timestamp[sel].astype(np.float32)),
+            jnp.full((Bp,), agent, jnp.int32), jnp.asarray(parents),
+            jnp.asarray(assocs), jnp.asarray(kfs.uv[sel]),
+            jnp.asarray(kfs.desc[sel]), jnp.asarray(kfs.level[sel]),
+            jnp.asarray(kfs.angle[sel]), jnp.asarray(kfs.feat_valid[sel]),
+            jnp.int32(len(accepted)))
+        slots_np = np.asarray(slots)
+        self.db = dbm.add_keyframes_bow_batch(
+            self.db, self.voc, slots, jnp.asarray(kfs.desc[sel]),
+            jnp.asarray(kfs.feat_valid[sel]),
+            jnp.full((Bp,), agent, jnp.int32))
+        count = 0
+        for pos, (b, lid, _T, _p) in enumerate(accepted):
+            slot_i = int(slots_np[pos])
+            if slot_i < 0:            # over capacity
                 self.stats["dropped_kf"] += 1
+                if book.last_kf_slot == n_kf0 + pos:
+                    book.last_kf_slot = -1
                 continue
+            assert slot_i == n_kf0 + pos    # provisional slots are real
             mp_local_b = np.asarray(kfs.mp_local[b])
             feats_idx = np.nonzero(mp_local_b >= 0)[0].astype(np.int32)
             if len(feats_idx):
@@ -329,12 +367,8 @@ class CollabServer:
                     (agent, slot_i, feats_idx,
                      mp_local_b[feats_idx].astype(np.int32)))
             book.kf_l2s[lid] = slot_i
-            book.last_kf_slot = slot_i
             self.kf_map[slot_i] = book.map_id
             self.kf_local[slot_i] = lid
-            self.db, _ = dbm.add_keyframe_bow(
-                self.db, self.voc, jnp.int32(slot_i), feats.desc,
-                feats.valid, agent)
             self._pr_queue.append((agent, slot_i))
             book.dirty_kfs.append(slot_i)
             self.stats["kf_ingested"] += 1
@@ -537,12 +571,15 @@ class CollabServer:
                 S_corr, lm, inliers = casc.S, casc.lm, casc.inliers
                 best = cand_kf
                 cand_agent = int(self.m.kf_agent[best])
-                either_inertial = book.inertial or \
+                both_inertial = book.inertial and \
                     self.agents.get(cand_agent, AgentBook()).inertial
-                if either_inertial:
-                    # inertial merge gate (LoopClosing::Run, LoopClosing.cc:
-                    # 95-118): both maps are metric and gravity-aligned, so
-                    # the correction must be near scale 1 and yaw-only
+                if both_inertial:
+                    # inertial merge gate — applied only when BOTH maps are
+                    # inertial (reference LoopClosing::Run checks
+                    # IsInertial() on both, LoopClosing.cc:95-118): two
+                    # metric gravity-aligned maps must relate by near
+                    # scale 1, yaw-only; a visual map's scale is free and
+                    # must NOT be gated
                     s_est = float(S_corr.s)
                     lo, hi = self.cfg.loop.scale_gate
                     if not (lo < s_est < hi):
@@ -556,11 +593,47 @@ class CollabServer:
                                        s=jnp.float32(1.0))
                 same_map = self.kf_map[best] == self.kf_map[kf_slot]
                 if same_map:
+                    # inertial maps are metric: scale stays fixed in the
+                    # pose graph (the reference's 4-DoF essential graph
+                    # for inertial maps, Optimizer.cc:8430)
                     self.m = loop_closing.correct_loop(
-                        self.m, jnp.int32(kf_slot), jnp.int32(best), S_corr)
+                        self.m, jnp.int32(kf_slot), jnp.int32(best), S_corr,
+                        fix_scale=self._map_is_inertial(
+                            int(self.kf_map[kf_slot])))
                     self.stats["loops"] += 1
                 else:
-                    self._merge_maps(kf_slot, best, S_corr)
+                    # gauge precedence: a metric inertial map must NEVER
+                    # be pulled through a scaled Sim3 into a scale-free
+                    # visual map's frame (it would break the metric gauge
+                    # and the agent's velocity/gravity state; the
+                    # reference's inertial merges always keep the
+                    # inertial gauge — MergeLocal2 yaw-only/scale~1,
+                    # LoopClosing.cc:95-118). If only the CURRENT side is
+                    # inertial, swap roles so the visual map moves:
+                    # p_cur ~ S(p_cand)  =>  p_cand ~ S^-1(p_cur).
+                    cur_inertial = self._map_is_inertial(
+                        int(self.kf_map[kf_slot]))
+                    cand_inertial = self._map_is_inertial(
+                        int(self.kf_map[best]))
+                    if cur_inertial != cand_inertial:
+                        # mixed merge: lock the metric side's poses so
+                        # the welding BA below only adapts the visual
+                        # side — otherwise the RANSAC Sim3's scale noise
+                        # leaks into the inertial map through the seam
+                        # (the IMU state would then disagree with its
+                        # own map scale)
+                        inert = [a for a, b in self.agents.items()
+                                 if b.inertial]
+                        own = np.isin(np.array(self.m.kf_agent), inert) \
+                            & np.array(self.m.kf_valid)
+                        self.m = self.m._replace(
+                            kf_pose_locked=self.m.kf_pose_locked
+                            | jnp.asarray(own))
+                    if cur_inertial and not cand_inertial:
+                        self._merge_maps(best, kf_slot,
+                                         sim3.inverse(S_corr))
+                    else:
+                        self._merge_maps(kf_slot, best, S_corr)
                     self.stats["merges"] += 1
                 cur = jnp.where(lm.valid & inliers, lm.cur_mp, -1)
                 cand = jnp.where(lm.valid & inliers, lm.cand_mp, -1)
@@ -582,6 +655,12 @@ class CollabServer:
             self._mark_corrected_and_lock()
             if run_gba:
                 self.run_global_ba()
+
+    # ------------------------------------------------------------------
+    def _map_is_inertial(self, map_id: int) -> bool:
+        """A sub-map is metric/inertial if any inertial agent feeds it."""
+        return any(b.inertial and b.map_id == map_id
+                   for b in self.agents.values())
 
     # ------------------------------------------------------------------
     def _merge_maps(self, kf_cur: int, kf_cand: int,
@@ -619,10 +698,12 @@ class CollabServer:
             parent = int(self.m.kf_parent[root])
         self.m = self.m._replace(
             kf_parent=self.m.kf_parent.at[root].set(jnp.int32(kf_cand)))
-        # distribute residual merge error with a pose graph on the welded map
+        # distribute residual merge error with a pose graph on the welded
+        # map (scale pinned when the merged map carries a metric gauge)
         self.m = loop_closing.correct_loop(
             self.m, jnp.int32(kf_cur), jnp.int32(kf_cand),
-            sim3.identity(), iters=8)
+            sim3.identity(), iters=8,
+            fix_scale=self._map_is_inertial(map_cand))
 
     def _mark_corrected_and_lock(self, recent_free: int = 5) -> None:
         """After a loop/merge correction, lock the corrected poses for
@@ -656,7 +737,8 @@ class CollabServer:
     # server-side global BA (the distributed Schur reduction entry)
     # ==================================================================
     def run_global_ba(self, iters: int = 6, cg_iters: int = 30,
-                      distributed: Optional[bool] = None) -> None:
+                      distributed: Optional[bool] = None,
+                      force_shard: bool = False) -> None:
         """Full-arena visual BA (RunGlobalBundleAdjustment analog).
         Observations come straight from the arena's kf_mp arrays. With
         more than one device (or distributed=True) the observation list
@@ -674,18 +756,29 @@ class CollabServer:
             inv_sigma2=level_inv_sigma2(m.kf_level.reshape(-1),
                                         self.cfg.orb.scale_factor),
             valid=obs_valid)
-        # gauge: fix the oldest valid KF of every sub-map
+        # gauge: fix the oldest valid KF of every sub-map; in a map with a
+        # metric gauge, also fix every inertial agent's keyframes — the
+        # visual-only GBA cannot observe scale, and those poses are
+        # already VI-BA-refined client-side (the reference's
+        # FullInertialBA holds scale with IMU factors instead,
+        # src/Optimizer.cc:449; preintegration uplink is the open parity
+        # item here)
         fixed = ~np.array(m.kf_valid)
         for mid in np.unique(self.kf_map[self.kf_map >= 0]):
             slots = np.nonzero(self.kf_map == mid)[0]
             if len(slots):
                 fixed[slots[0]] = True
+        inert = [a for a, b in self.agents.items() if b.inertial]
+        if inert:
+            fixed |= np.isin(np.array(m.kf_agent), inert) \
+                & np.array(m.kf_valid)
         if distributed is None:
             distributed = len(jax.devices()) > 1
-        if distributed:
+        if distributed or force_shard:
             res = global_ba.global_bundle_adjust_sharded(
                 m.kf_pose, jnp.asarray(fixed), m.mp_pos, m.mp_valid, obs,
-                self.K, iters=iters, cg_iters=cg_iters)
+                self.K, iters=iters, cg_iters=cg_iters,
+                force_shard=force_shard)
         else:
             res = global_ba.global_bundle_adjust(
                 m.kf_pose, jnp.asarray(fixed), m.mp_pos, m.mp_valid, obs,

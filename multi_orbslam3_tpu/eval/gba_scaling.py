@@ -77,16 +77,23 @@ def make_server_arena(n_kf: int = 48, n_mp: int = 3072, n_feat: int = 256,
 
 
 def measure_gba(server, iters: int = 4, cg_iters: int = 25,
-                reps: int = 3) -> dict:
-    """Time run_global_ba on the arena; returns PCG iterations/s."""
+                reps: int = 3, force_shard: bool = True) -> dict:
+    """Time run_global_ba on the arena; returns PCG iterations/s.
+
+    force_shard=True runs the shard_map (landmark-aligned psum) path even
+    on ONE device so scaling efficiency compares the SAME implementation
+    at every N (rate_N / (N * rate_1) with different code paths would mix
+    implementation overheads into the scaling number)."""
     import jax
     m0 = server.m
-    server.run_global_ba(iters=iters, cg_iters=cg_iters)   # compile
+    server.run_global_ba(iters=iters, cg_iters=cg_iters,
+                         force_shard=force_shard)           # compile
     times = []
     for _ in range(reps):
         server.m = m0
         t0 = time.perf_counter()
-        server.run_global_ba(iters=iters, cg_iters=cg_iters)
+        server.run_global_ba(iters=iters, cg_iters=cg_iters,
+                             force_shard=force_shard)
         jax.block_until_ready(server.m.kf_pose)
         times.append(time.perf_counter() - t0)
     best = min(times)
@@ -107,7 +114,12 @@ def main() -> None:
     except Exception:
         pass
     server = make_server_arena()
-    out = measure_gba(server)
+    out = measure_gba(server, force_shard=True)
+    if len(jax.devices()) == 1:
+        # reference point: the non-shard_map single-device program
+        server2 = make_server_arena()
+        single = measure_gba(server2, force_shard=False)
+        out["single_path_iters_per_s"] = single["gba_iters_per_s"]
     print(json.dumps(out))
 
 

@@ -160,6 +160,53 @@ def add_keyframe(m: MapState, feats: FrameFeatures, pose: jnp.ndarray,
 
 
 @jax.jit
+def add_keyframes_batch(m: MapState, poses: jnp.ndarray,
+                        timestamps: jnp.ndarray, agents: jnp.ndarray,
+                        parents: jnp.ndarray, assocs: jnp.ndarray,
+                        uv: jnp.ndarray, desc: jnp.ndarray,
+                        level: jnp.ndarray, angle: jnp.ndarray,
+                        feat_valid: jnp.ndarray, count
+                        ) -> tuple[MapState, jnp.ndarray]:
+    """Batch-insert up to B keyframes at consecutive slots — ONE compiled
+    program per comm cycle instead of per-KF dispatches (the server-ingest
+    hot path; the reference constructs KeyFrames one by one from messages,
+    Communicator::ProcessKfInServer, src/Communicator.cc:355-495).
+
+    All inputs are (B, ...) with only rows [0, count) real; padding rows
+    are routed to a sacrificial scatter slot. Returns (map, slots (B,))
+    with -1 for padding/over-capacity rows.
+    """
+    B = poses.shape[0]
+    idx = jnp.arange(B, dtype=jnp.int32)
+    slots = m.n_kf + idx
+    ok = (idx < count) & (slots < m.max_kf)
+    safe = jnp.where(ok, slots, m.max_kf)      # extended sacrificial row
+
+    def scat(arr, vals):
+        ext = jnp.concatenate([arr, jnp.zeros_like(arr[:1])], 0)
+        return ext.at[safe].set(vals.astype(arr.dtype))[:m.max_kf]
+
+    m = m._replace(
+        kf_pose=scat(m.kf_pose, poses),
+        kf_valid=scat(m.kf_valid, jnp.ones(B, bool)),
+        kf_map_id=scat(m.kf_map_id,
+                       jnp.full((B,), 1, jnp.int32) * m.active_map),
+        kf_timestamp=scat(m.kf_timestamp, timestamps),
+        kf_agent=scat(m.kf_agent, agents),
+        kf_parent=scat(m.kf_parent, parents),
+        kf_uv=scat(m.kf_uv, uv),
+        kf_desc=scat(m.kf_desc, desc),
+        kf_level=scat(m.kf_level, level),
+        kf_angle=scat(m.kf_angle, angle),
+        kf_feat_valid=scat(m.kf_feat_valid, feat_valid),
+        kf_mp=scat(m.kf_mp, assocs),
+        kf_ur=scat(m.kf_ur, jnp.full((B, m.n_feat), -1.0, jnp.float32)),
+        n_kf=m.n_kf + jnp.sum(ok.astype(jnp.int32)),
+    )
+    return m, jnp.where(ok, slots, jnp.int32(-1))
+
+
+@jax.jit
 def add_mappoints(m: MapState, pos: jnp.ndarray, ok: jnp.ndarray,
                   desc: jnp.ndarray, ref_kf, kf_a, feat_a: jnp.ndarray,
                   kf_b, feat_b: jnp.ndarray, agent=0) -> tuple[MapState, jnp.ndarray]:

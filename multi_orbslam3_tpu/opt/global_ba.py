@@ -41,15 +41,24 @@ def _psum(x, axis_name):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("iters", "cg_iters", "axis_name"))
+                   static_argnames=("iters", "cg_iters", "axis_name",
+                                    "point_aligned"))
 def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
                          points: jnp.ndarray, point_valid: jnp.ndarray,
                          obs: BAObservations, K: cam.PinholeK,
                          iters: int = 8, cg_iters: int = 40,
                          chi2_th: float = robust.CHI2_MONO,
-                         axis_name: Optional[str] = None) -> GBAResult:
+                         axis_name: Optional[str] = None,
+                         point_aligned: bool = False) -> GBAResult:
     """poses: (Kc, 4, 4) replicated; points: (P, 3) replicated; obs: the
-    LOCAL observation shard. fixed: (Kc,) bool gauge/lock mask."""
+    LOCAL observation shard. fixed: (Kc,) bool gauge/lock mask.
+
+    point_aligned=True asserts every landmark's observations live on ONE
+    device (the sharded entry buckets them so). Then all landmark-side
+    reductions (Hpp, b_p, E^T x — the large ones) are device-local and
+    only the (Kc,6)-sized camera reductions ride the collective: the
+    per-CG-iteration traffic drops from O(P) to O(Kc), the standard
+    landmark-parallel decomposition of distributed Schur BA."""
     Kc = poses.shape[0]
     P = points.shape[0]
     lam = 1e-4
@@ -64,14 +73,15 @@ def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
         Jc_w = J_cam * w[:, None, None]
         Jp_w = J_pt * w[:, None, None]
 
+        pt_axis = None if point_aligned else axis_name
         Hcc = _psum(jnp.zeros((Kc, 6, 6)).at[obs.kf].add(
             jnp.einsum("ori,orj->oij", J_cam, Jc_w)), axis_name)
         b_c = _psum(jnp.zeros((Kc, 6)).at[obs.kf].add(
             jnp.einsum("ori,or->oi", Jc_w, r)), axis_name)
         Hpp = _psum(jnp.zeros((P, 3, 3)).at[obs.pt].add(
-            jnp.einsum("ori,orj->oij", J_pt, Jp_w)), axis_name)
+            jnp.einsum("ori,orj->oij", J_pt, Jp_w)), pt_axis)
         b_p = _psum(jnp.zeros((P, 3)).at[obs.pt].add(
-            jnp.einsum("ori,or->oi", Jp_w, r)), axis_name)
+            jnp.einsum("ori,or->oi", Jp_w, r)), pt_axis)
 
         eye3 = jnp.eye(3)
         pt_seen = (jnp.diagonal(Hpp, axis1=-2, axis2=-1).sum(-1) > 1e-9) \
@@ -90,7 +100,7 @@ def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
         def Et_x(x):        # (Kc, 6) -> (P, 3):  E^T x, E^T = sum w Jp^T Jc
             t = jnp.einsum("ori,oi->or", J_cam[..., :, :], x[obs.kf])  # (O,2)
             u = jnp.einsum("ori,or->oi", Jp_w, t)                      # (O,3)
-            return _psum(jnp.zeros((P, 3)).at[obs.pt].add(u), axis_name)
+            return _psum(jnp.zeros((P, 3)).at[obs.pt].add(u), pt_axis)
 
         def E_y(y):         # (P, 3) -> (Kc, 6)
             t = jnp.einsum("ori,oi->or", J_pt, y[obs.pt])              # (O,2)
@@ -135,6 +145,10 @@ def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
                                         (x0, r0, z0, p0))
         dp = -jnp.einsum("pab,pb->pa", C_inv, b_p + Et_x(dc))
         dp = jnp.where(pt_seen[:, None], dp, 0.0)
+        if point_aligned:
+            # each landmark's step is computed only on its owning device
+            # (zeros elsewhere): one psum per GN step replicates it
+            dp = _psum(dp, axis_name)
         finite = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dp))
         dc = jnp.where(finite, dc, 0.0)
         dp = jnp.where(finite, dp, 0.0)
@@ -156,33 +170,59 @@ def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
 def global_bundle_adjust_sharded(poses, fixed, points, point_valid,
                                  obs: BAObservations, K: cam.PinholeK,
                                  iters: int = 8, cg_iters: int = 40,
-                                 devices=None) -> GBAResult:
-    """Distributed entry: shard the observation list over `devices` (all
-    available by default), replicate poses/landmarks, and run
-    global_bundle_adjust under shard_map so every observation-level
-    reduction rides a psum over the mesh — the distributed
-    Schur-complement reduction of BASELINE.json (the reference's
-    server-global FullInertialBA over all agents' KFs with namespaced
-    vertex ids, Optimizer.h:104-112, is a single-process g2o solve; here
-    the same factor graph spreads across chips)."""
+                                 devices=None,
+                                 force_shard: bool = False) -> GBAResult:
+    """Distributed entry — the distributed Schur-complement reduction of
+    BASELINE.json (the reference's server-global FullInertialBA over all
+    agents' KFs with namespaced vertex ids, Optimizer.h:104-112, is a
+    single-process g2o solve; here the same factor graph spreads across
+    chips).
+
+    Observations are bucketed so each landmark's rows live on ONE device
+    (landmark-parallel decomposition): landmark elimination (Hpp/C_inv/
+    E^T x/dp — the O(P) tensors) is device-local and only (Kc,6)-sized
+    camera reductions cross the mesh per CG iteration. Poses/landmarks
+    are replicated. force_shard=True runs the shard_map path even on one
+    device (for like-for-like scaling measurements)."""
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from jax import shard_map
 
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if n == 1:
+    if n == 1 and not force_shard:
         return global_bundle_adjust(poses, fixed, points, point_valid,
                                     obs, K, iters=iters, cg_iters=cg_iters)
-    O = obs.kf.shape[0]
-    pad = (-O) % n
+    # ---- host-side bucketing: owner(obs) = device of its landmark ----
+    P_pts = points.shape[0]
+    pt_np = np.asarray(obs.pt)
+    valid_np = np.asarray(obs.valid)
+    owner = (pt_np.astype(np.int64) * n) // max(P_pts, 1)
+    owner = np.clip(owner, 0, n - 1)
+    order = np.argsort(owner, kind="stable")
+    counts = np.bincount(owner, minlength=n)
+    M = int(counts.max()) if len(counts) else 1
+    M = max(M, 1)
+    idx = np.zeros((n, M), np.int64)
+    slot_ok = np.zeros((n, M), bool)
+    start = 0
+    for d in range(n):
+        rows = order[start:start + counts[d]]
+        start += counts[d]
+        idx[d, :len(rows)] = rows
+        slot_ok[d, :len(rows)] = True
+    flat = idx.reshape(-1)
+    ok = slot_ok.reshape(-1)
+
+    def take(a, fill=0):
+        return jnp.asarray(np.asarray(a)[flat])
+
     obs_p = BAObservations(
-        kf=jnp.pad(obs.kf, (0, pad)), pt=jnp.pad(obs.pt, (0, pad)),
-        uv=jnp.pad(obs.uv, ((0, pad), (0, 0))),
-        inv_sigma2=jnp.pad(obs.inv_sigma2, (0, pad)),
-        valid=jnp.pad(obs.valid, (0, pad)),
-        u_r=None if obs.u_r is None else
-        jnp.pad(obs.u_r, (0, pad), constant_values=-1.0))
+        kf=take(obs.kf), pt=take(obs.pt),
+        uv=take(obs.uv),
+        inv_sigma2=take(obs.inv_sigma2),
+        valid=jnp.asarray(np.asarray(obs.valid)[flat] & ok),
+        u_r=None if obs.u_r is None else take(obs.u_r))
     mesh = Mesh(np.array(devices), ("obs",))
     spec = BAObservations(
         kf=P("obs"), pt=P("obs"), uv=P("obs"), inv_sigma2=P("obs"),
@@ -193,7 +233,8 @@ def global_bundle_adjust_sharded(poses, fixed, points, point_valid,
     def run(poses, fixed, points, point_valid, obs_in):
         def inner(po, fx, pt, pv, o):
             return global_bundle_adjust(po, fx, pt, pv, o, K, iters=iters,
-                                        cg_iters=cg_iters, axis_name="obs")
+                                        cg_iters=cg_iters, axis_name="obs",
+                                        point_aligned=True)
         return shard_map(
             inner, mesh=mesh,
             in_specs=(P(), P(), P(), P(), spec),

@@ -182,6 +182,33 @@ class TestGlobalBA:
         np.testing.assert_allclose(np.asarray(res_d.points),
                                    np.asarray(res_s.points), atol=1e-2)
 
+    def test_landmark_aligned_sharded_entry(self):
+        """The production sharded entry buckets observations by landmark
+        owner (landmark-side reductions device-local; only (Kc,6)-sized
+        camera reductions ride the psum). Its result must match the
+        single-device solve bit-for-purpose."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        poses_true, pts_true, poses0, pts0, fixed, obs = _ba_problem(
+            n_kf=4, n_pts=128)
+        res_sh = global_ba.global_bundle_adjust_sharded(
+            poses0, fixed, pts0, jnp.ones(128, bool), obs, K,
+            iters=6, cg_iters=30, force_shard=True)
+        res_s = global_ba.global_bundle_adjust(
+            poses0, fixed, pts0, jnp.ones(128, bool), obs, K,
+            iters=6, cg_iters=30)
+        np.testing.assert_allclose(np.asarray(res_sh.poses),
+                                   np.asarray(res_s.poses), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(res_sh.points),
+                                   np.asarray(res_s.points), atol=1e-2)
+        # single-device force_shard (1-device mesh) also agrees
+        res_1 = global_ba.global_bundle_adjust_sharded(
+            poses0, fixed, pts0, jnp.ones(128, bool), obs, K,
+            iters=6, cg_iters=30, devices=jax.devices()[:1],
+            force_shard=True)
+        np.testing.assert_allclose(np.asarray(res_1.poses),
+                                   np.asarray(res_s.poses), atol=1e-3)
+
 
 class TestPoseGraphCG:
     def test_cg_matches_dense(self):
