@@ -149,6 +149,21 @@ class CollabClient:
                 (mp_local >= 0)
                 & self._is_foreign_mp[np.maximum(mp_local, 0)],
                 -1, mp_local)
+            # preintegration uplink (the reference ships mpImuPreintegrated
+            # + velocity in every KF message, src/KeyFrame.cc
+            # ConvertToMessage; the server needs them for FullInertialBA
+            # and for window merging when it culls a keyframe)
+            imu_rows = None
+            kf_preint = getattr(self.slam, "kf_preint", None)
+            if self.inertial and kf_preint is not None:
+                from multi_orbslam3_tpu.imu import preintegration as pre
+                imu_rows = np.zeros((B, pre.FLAT_DIM + 3), np.float32)
+                for b, lid in enumerate(ids):
+                    p = kf_preint[int(lid)]
+                    if p is not None:
+                        imu_rows[b, :pre.FLAT_DIM] = pre.preint_to_flat(p)
+                    imu_rows[b, pre.FLAT_DIM:] = \
+                        self.slam.kf_velocity[int(lid)]
             kfs = protocol.KFPayload(
                 agent=self.agent, local_id=ids.astype(np.int32),
                 timestamp=np.array(m.kf_timestamp)[ids],
@@ -159,7 +174,7 @@ class CollabClient:
                 level=np.array(m.kf_level)[ids],
                 angle=np.array(m.kf_angle)[ids],
                 feat_valid=np.array(m.kf_feat_valid)[ids],
-                mp_local=mp_local)
+                mp_local=mp_local, imu=imu_rows)
             self._sent_kf_pose[ids] = poses
             new_kf_hi = int(ids[-1]) + 1 \
                 if len(own_new) == comm.client_kf_bound else n_kf
@@ -227,11 +242,14 @@ class CollabClient:
                 and mp_updates is None and gauge is None:
             return None
         self._seq += 1
+        T_bc = None
+        if self.inertial and hasattr(self.slam, "T_bc"):
+            T_bc = np.asarray(self.slam.T_bc, np.float32).reshape(4, 4)
         return protocol.MapDelta(
             agent=self.agent, seq=self._seq, kfs=kfs, kf_updates=kf_updates,
             mps=mps, mp_updates=mp_updates,
             closest_kf=self.slam.ref_kf, scale=scale, R_gw=R_gw,
-            inertial=self.inertial)
+            inertial=self.inertial, T_bc=T_bc)
 
     # ------------------------------------------------------------------
     def _ingest_corrections(self) -> None:

@@ -51,6 +51,12 @@ class KFPayload:
     angle: np.ndarray           # (B, N)
     feat_valid: np.ndarray      # (B, N) bool
     mp_local: np.ndarray        # (B, N) int32 sender-local MP id per feature
+    # inertial uplink (reference ships mpImuPreintegrated + velocity inside
+    # KF messages so the server can run FullInertialBA and merge windows on
+    # culling): (B, FLAT_DIM + 3) = flattened Preintegrated (prev own KF ->
+    # this KF; dT == 0 marks "no window") followed by the world-frame body
+    # velocity at this KF. None for visual-only senders.
+    imu: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -136,6 +142,9 @@ class MapDelta:
     scale: float = 1.0
     R_gw: Optional[np.ndarray] = None           # (3, 3)
     inertial: bool = False                      # sender runs VI odometry
+    # camera->body extrinsics of the sending agent (ImuCalib.T_bc; the
+    # server needs it to evaluate preintegration factors in FullInertialBA)
+    T_bc: Optional[np.ndarray] = None           # (4, 4)
     # reliability: server->client cumulative ack of in-order-processed
     # uplink seq (the reference's open-ack lists, Communicator.h:162-165)
     ack_seq: int = -1
@@ -152,6 +161,8 @@ class MapDelta:
                 continue
             for f in dataclasses.fields(obj):
                 v = getattr(obj, f.name)
+                if v is None:
+                    continue
                 if isinstance(v, np.ndarray):
                     arrays[f"{name}.{f.name}"] = v
                 else:
@@ -162,6 +173,8 @@ class MapDelta:
             arrays["erased_mp"] = self.erased_mp
         if self.R_gw is not None:
             arrays["R_gw"] = self.R_gw
+        if self.T_bc is not None:
+            arrays["T_bc"] = self.T_bc
         return codec.pack(meta, arrays)
 
     @classmethod
@@ -202,4 +215,4 @@ class MapDelta:
                    foreign_mps=build("foreign_mps", ForeignMPPayload),
                    erased_kf=arrays.get("erased_kf"),
                    erased_mp=arrays.get("erased_mp"),
-                   R_gw=arrays.get("R_gw"))
+                   R_gw=arrays.get("R_gw"), T_bc=arrays.get("T_bc"))

@@ -72,6 +72,9 @@ class AgentBook:
     ooo: Dict[int, bytes] = dataclasses.field(default_factory=dict)
     erased_kf_tomb: set = dataclasses.field(default_factory=set)
     erased_mp_tomb: set = dataclasses.field(default_factory=set)
+    # camera->body extrinsics of this agent (shipped once in the uplink
+    # envelope; the server's FullInertialBA analog needs it)
+    T_bc: Optional[np.ndarray] = None
 
 
 class CollabServer:
@@ -89,6 +92,11 @@ class CollabServer:
         self.kf_map = np.full(max_kf, -1, np.int32)     # sub-map id per slot
         self.mp_map = np.full(max_mp, -1, np.int32)
         self.kf_local = np.full(max_kf, -1, np.int32)   # sender-local id
+        # per-slot uplinked IMU row: flattened Preintegrated (prev own KF ->
+        # this KF) + world-frame body velocity (the reference keeps
+        # mpImuPreintegrated + Vw on every server-side KeyFrame)
+        from multi_orbslam3_tpu.imu import preintegration as _pre
+        self.kf_imu = np.zeros((max_kf, _pre.FLAT_DIM + 3), np.float32)
         self.voc = vocabulary if vocabulary is not None else \
             vocm.default_vocabulary(config.bow.branching, config.bow.levels)
         self.db = dbm.KeyframeDatabase.empty(max_kf, self.voc.n_words)
@@ -112,7 +120,7 @@ class CollabServer:
                   for n in self.m._fields}
         arrays.update({
             "kf_map": self.kf_map, "mp_map": self.mp_map,
-            "kf_local": self.kf_local,
+            "kf_local": self.kf_local, "kf_imu": self.kf_imu,
             "db.bow": np.asarray(self.db.bow),
             "db.active": np.asarray(self.db.active),
             "db.agent": np.asarray(self.db.agent),
@@ -133,6 +141,8 @@ class CollabServer:
                 "next_seq": b.next_seq,
                 "erased_kf_tomb": sorted(int(x) for x in b.erased_kf_tomb),
                 "erased_mp_tomb": sorted(int(x) for x in b.erased_mp_tomb),
+                "T_bc": None if b.T_bc is None
+                else [float(x) for x in b.T_bc.reshape(-1)],
                 # in-flight payloads: `pending` frames are past the
                 # cumulative ack (the client will NOT resend them) and
                 # `ooo` frames would be discarded as duplicates on
@@ -160,6 +170,8 @@ class CollabServer:
         self.kf_map = data["kf_map"]
         self.mp_map = data["mp_map"]
         self.kf_local = data["kf_local"]
+        if "kf_imu" in data:
+            self.kf_imu = data["kf_imu"]
         self.db = self.db._replace(bow=jnp.asarray(data["db.bow"]),
                                    active=jnp.asarray(data["db.active"]),
                                    agent=jnp.asarray(data["db.agent"]))
@@ -181,6 +193,9 @@ class CollabServer:
             b.next_seq = bk["next_seq"]
             b.erased_kf_tomb = set(bk["erased_kf_tomb"])
             b.erased_mp_tomb = set(bk["erased_mp_tomb"])
+            if bk.get("T_bc") is not None:
+                b.T_bc = np.asarray(bk["T_bc"],
+                                    np.float32).reshape(4, 4)
             b.pending = [bytes(data[f"pending.{a_str}.{i}"])
                          for i in range(bk.get("n_pending", 0))]
             b.ooo = {seq: bytes(data[f"ooo.{a_str}.{seq}"])
@@ -247,6 +262,8 @@ class CollabServer:
         if delta.closest_kf >= 0:
             book.closest_kf = delta.closest_kf
         book.inertial = book.inertial or delta.inertial
+        if delta.T_bc is not None:
+            book.T_bc = np.asarray(delta.T_bc, np.float32).reshape(4, 4)
         # IMU-init gauge handoff BEFORE ingesting payloads whose poses are
         # already post-gauge (reference Communicator::RunServer applies
         # ApplyScaledRotation first, Communicator.cc:240-252)
@@ -266,6 +283,7 @@ class CollabServer:
                 book.erased_kf_tomb.add(int(lid))
                 slot = book.kf_l2s.get(int(lid))
                 if slot is not None:
+                    self._merge_preint_forward(int(slot), agent)
                     self.m = ms.erase_keyframe(self.m, jnp.int32(slot))
                     self.db = dbm.erase_keyframe_bow(self.db, jnp.int32(slot))
         if delta.erased_mp is not None:
@@ -369,6 +387,8 @@ class CollabServer:
             book.kf_l2s[lid] = slot_i
             self.kf_map[slot_i] = book.map_id
             self.kf_local[slot_i] = lid
+            if kfs.imu is not None:
+                self.kf_imu[slot_i] = kfs.imu[b]
             self._pr_queue.append((agent, slot_i))
             book.dirty_kfs.append(slot_i)
             self.stats["kf_ingested"] += 1
@@ -757,12 +777,11 @@ class CollabServer:
                                         self.cfg.orb.scale_factor),
             valid=obs_valid)
         # gauge: fix the oldest valid KF of every sub-map; in a map with a
-        # metric gauge, also fix every inertial agent's keyframes — the
-        # visual-only GBA cannot observe scale, and those poses are
-        # already VI-BA-refined client-side (the reference's
-        # FullInertialBA holds scale with IMU factors instead,
-        # src/Optimizer.cc:449; preintegration uplink is the open parity
-        # item here)
+        # metric gauge, also fix every inertial agent's keyframes during
+        # the VISUAL pass — a visual-only GBA cannot observe scale. Their
+        # refinement happens right after, in run_inertial_refinement(),
+        # where the uplinked preintegration factors hold the metric gauge
+        # (the reference's FullInertialBA, src/Optimizer.cc:449).
         fixed = ~np.array(m.kf_valid)
         for mid in np.unique(self.kf_map[self.kf_map >= 0]):
             slots = np.nonzero(self.kf_map == mid)[0]
@@ -785,12 +804,171 @@ class CollabServer:
                 self.K, iters=iters, cg_iters=cg_iters)
         self.m = m._replace(kf_pose=res.poses, mp_pos=res.points)
         self.stats["gba_runs"] += 1
+        # inertial maps: FullInertialBA analog over the uplinked
+        # preintegration chains (reference RunGlobalBundleAdjustment ->
+        # Optimizer::FullInertialBA, src/Optimizer.cc:449) — refines the
+        # inertial agents' poses/velocities that the visual-only GBA held
+        # fixed, with IMU factors holding the metric gauge
+        if inert:
+            self.stats["vi_windows"] = self.stats.get("vi_windows", 0) + \
+                self.run_inertial_refinement()
         self._mark_all_dirty_and_lock()
 
     # ==================================================================
     # culling (server-side only, like the reference: the client never
     # culls, LocalMapping::RunServer -> KeyFrameCulling)
     # ==================================================================
+    # ==================================================================
+    # server-side inertial machinery (consumes the preintegration uplink)
+    # ==================================================================
+    def _merge_preint_forward(self, slot: int, agent: int,
+                              valid_mask: Optional[np.ndarray] = None
+                              ) -> None:
+        """Before erasing an inertial agent's keyframe, fold its uplinked
+        preintegration window into the next own keyframe's window so the
+        agent's inertial chain stays unbroken (reference MergePrevious on
+        erased-KF processing, src/Communicator.cc:319-341)."""
+        from multi_orbslam3_tpu.imu import preintegration as pre
+        row = self.kf_imu[slot]
+        if float(row[pre.FLAT_DT]) <= 0.0:      # no window uplinked
+            return
+        valid = np.array(self.m.kf_valid) if valid_mask is None \
+            else valid_mask
+        agents_arr = np.array(self.m.kf_agent)
+        cand = np.nonzero(valid & (agents_arr == agent))[0]
+        cand = cand[cand > slot]
+        if len(cand):
+            nxt = int(cand[0])
+            if float(self.kf_imu[nxt, pre.FLAT_DT]) > 0.0:
+                merged = pre.merge_preintegrated(
+                    pre.flat_to_preint(row[:pre.FLAT_DIM]),
+                    pre.flat_to_preint(self.kf_imu[nxt, :pre.FLAT_DIM]))
+                self.kf_imu[nxt, :pre.FLAT_DIM] = pre.preint_to_flat(merged)
+        self.kf_imu[slot] = 0.0
+
+    def run_inertial_refinement(self, window: int = 8, anchor: int = 2,
+                                iters: int = 4) -> int:
+        """Server-side FullInertialBA analog (the reference's
+        RunGlobalBundleAdjustment calls Optimizer::FullInertialBA for
+        inertial maps, src/Optimizer.cc:449): sweep fixed-size
+        visual-inertial windows over each inertial agent's keyframe
+        chain, consuming the uplinked preintegration windows, velocities
+        and biases. Fixed window shapes keep one XLA compilation across
+        sweeps; each window's anchor prefix is pose-fixed so windows weld
+        onto already-refined state. Returns number of windows optimized."""
+        from multi_orbslam3_tpu.imu import preintegration as pre
+        from multi_orbslam3_tpu.opt import inertial_ba
+        valid = np.array(self.m.kf_valid)
+        agents_arr = np.array(self.m.kf_agent)
+        n_windows = 0
+        for a, book in self.agents.items():
+            if not book.inertial:
+                continue
+            own = np.nonzero(valid & (agents_arr == a))[0]
+            has_pre = self.kf_imu[own, pre.FLAT_DT] > 0.0
+            if int(has_pre.sum()) < 2 or len(own) < anchor + 2:
+                continue
+            T_bc = book.T_bc if book.T_bc is not None \
+                else np.eye(4, dtype=np.float32)
+            g_w = np.array([0.0, 0.0, -float(self.cfg.imu.gravity)],
+                           np.float32)
+            Kw = anchor + window
+            start = 0
+            while start + anchor + 1 < len(own):
+                sl = own[start:start + Kw]
+                self._vi_window(sl, Kw, T_bc, g_w, iters,
+                                n_fixed=anchor if start > 0 else 1)
+                n_windows += 1
+                start += window
+        return n_windows
+
+    def _vi_window(self, sl: np.ndarray, Kw: int, T_bc: np.ndarray,
+                   g_w: np.ndarray, iters: int, n_fixed: int) -> None:
+        """One fixed-shape visual-inertial window over arena slots `sl`
+        (padded to Kw by repeating the last slot; pads are pose-fixed and
+        carry no observations or inertial pairs)."""
+        from multi_orbslam3_tpu.imu import preintegration as pre
+        from multi_orbslam3_tpu.opt import inertial_ba
+        n_real = len(sl)
+        sl_pad = np.concatenate(
+            [sl, np.full(Kw - n_real, sl[-1], sl.dtype)])
+        m = self.m
+        rows = self.kf_imu[sl_pad]
+        preints = jax.vmap(pre.flat_to_preint)(
+            jnp.asarray(rows[:, :pre.FLAT_DIM]))
+        # pair i-1 -> i is usable only when BOTH are real, consecutive in
+        # the agent's chain, and a window was uplinked for i — AND the
+        # window's span matches the keyframe timestamp gap (a mismatch
+        # means the chain broke: a dropped uplink, an unmerged cull, or
+        # an init-time window; a preintegration factor over the wrong
+        # span corrupts poses far worse than a missing factor)
+        ts_w = np.asarray(self.m.kf_timestamp)[sl_pad]
+        gap = np.diff(ts_w, prepend=ts_w[0])
+        pair_valid = np.zeros(Kw, bool)
+        pair_valid[1:n_real] = (
+            (rows[1:n_real, pre.FLAT_DT] > 0.0)
+            & (np.abs(rows[1:n_real, pre.FLAT_DT] - gap[1:n_real])
+               < 0.25 * np.maximum(gap[1:n_real], 1e-3) + 0.01))
+        vel = rows[:, pre.FLAT_DIM:]
+        bg = rows[:, pre.FLAT_BG:pre.FLAT_BG + 3]
+        ba = rows[:, pre.FLAT_BA:pre.FLAT_BA + 3]
+        sj = jnp.asarray(sl_pad, jnp.int32)
+        obs_mp = m.kf_mp[sj]
+        n_pts = self.cfg.local_mapping.local_ba_points
+        uniq = jnp.unique(obs_mp, size=n_pts, fill_value=ms.NO_MP)
+        pt_ok = uniq >= 0
+        lut = jnp.full((m.max_mp + 1,), -1, jnp.int32)
+        lut = lut.at[jnp.where(pt_ok, uniq, m.max_mp)].set(
+            jnp.where(pt_ok, jnp.arange(n_pts, dtype=jnp.int32), -1))
+        flat_mp = obs_mp.reshape(-1)
+        local_pt = lut[jnp.where(flat_mp >= 0, flat_mp, m.max_mp)]
+        N = m.kf_mp.shape[1]
+        kf_idx = jnp.repeat(jnp.arange(Kw, dtype=jnp.int32), N)
+        obs = local_ba.BAObservations(
+            kf=kf_idx,
+            pt=jnp.where(local_pt >= 0, local_pt, 0),
+            uv=m.kf_uv[sj].reshape(-1, 2),
+            inv_sigma2=level_inv_sigma2(m.kf_level[sj].reshape(-1),
+                                        self.cfg.orb.scale_factor),
+            valid=(flat_mp >= 0) & (local_pt >= 0)
+            & m.kf_feat_valid[sj].reshape(-1)
+            & (kf_idx < n_real))
+        fixed = np.arange(Kw) >= n_real         # pads
+        fixed[:n_fixed] = True                  # anchor prefix
+        if not pair_valid.any():
+            return
+        pts0 = m.mp_pos[jnp.where(pt_ok, uniq, 0)]
+        res = inertial_ba.inertial_bundle_adjust(
+            m.kf_pose[sj], jnp.asarray(vel), jnp.asarray(bg),
+            jnp.asarray(ba), jnp.asarray(fixed), pts0, obs, preints,
+            jnp.asarray(pair_valid), self.K, jnp.asarray(g_w),
+            jnp.asarray(T_bc), iters=iters)
+        if not bool(jnp.all(jnp.isfinite(res.poses))):
+            return
+        # visual-consistency gate: the IMU factors must not win by
+        # dragging the window off the image evidence (wrong gravity gauge
+        # after a tilting correction, stale velocities) — revert the
+        # window if the visual inlier chi2 got worse
+        r0, _, _, behind0 = local_ba._obs_terms(m.kf_pose[sj], pts0,
+                                                obs, self.K)
+        c20 = local_ba._chi2(r0, obs.inv_sigma2)
+        in0 = obs.valid & ~behind0 & (c20 <= 5.991)
+        chi0 = float(jnp.sum(jnp.where(in0, c20, 0.0))
+                     / jnp.maximum(jnp.sum(in0.astype(jnp.int32)), 1))
+        if float(res.chi2) > max(chi0 * 1.2, chi0 + 0.05):
+            return
+        # write back only the real rows — pads duplicate sl[-1] and would
+        # race the free last row's update
+        kf_pose_ext = jnp.concatenate([m.kf_pose, jnp.zeros((1, 4, 4))], 0)
+        kf_pose = kf_pose_ext.at[sj[:n_real]].set(
+            res.poses[:n_real])[:m.max_kf]
+        mp_ext = jnp.concatenate([m.mp_pos, jnp.zeros((1, 3))], 0)
+        mp_pos = mp_ext.at[jnp.where(pt_ok, uniq, m.max_mp)].set(
+            res.points)[:m.max_mp]
+        self.m = m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+        self.kf_imu[sl, pre.FLAT_DIM:] = np.asarray(
+            res.velocities)[:n_real]
+
     def _cull(self) -> None:
         from multi_orbslam3_tpu.pipeline import culling
         protect = np.zeros(self.m.max_kf, bool)
@@ -807,8 +985,13 @@ class CollabServer:
         if n_kf > 0:
             after = np.array(self.m.kf_valid)
             culled = np.nonzero(before & ~after)[0]
+            remaining = before.copy()       # ascending order: a culled
+            # successor first receives the merge, then forwards its own
             for slot in culled:
                 a = int(agents_arr[slot])
+                self._merge_preint_forward(int(slot), a,
+                                           valid_mask=remaining)
+                remaining[slot] = False
                 lid = int(self.kf_local[slot])
                 if lid >= 0:
                     self.agents[a].erased_out = getattr(

@@ -166,3 +166,47 @@ def merge_preintegrated(p1: Preintegrated, p2: Preintegrated) -> Preintegrated:
     return Preintegrated(dR=dR, dV=dV, dP=dP, JRg=JRg, JVg=JVg, JVa=JVa,
                          JPg=JPg, JPa=JPa, cov=cov, dT=p1.dT + p2.dT,
                          bg=p1.bg, ba=p1.ba)
+
+
+# ----------------------------------------------------------------------
+# wire flattening (the preintegration uplink: the reference ships
+# mpImuPreintegrated inside KF messages so the server can run
+# FullInertialBA and merge windows when it culls keyframes —
+# src/KeyFrame.cc ConvertToMessage / src/Communicator.cc:319-341)
+# ----------------------------------------------------------------------
+FLAT_DIM = 148  # dR 9 + dV 3 + dP 3 + 5 Jacobians 45 + cov 81 + dT 1 +
+#                 bg 3 + ba 3
+FLAT_DT = 141   # offset of dT within a flat row (9+3+3+45+81)
+FLAT_BG = 142   # offset of bg (3,)
+FLAT_BA = 145   # offset of ba (3,)
+
+
+def preint_to_flat(p: Preintegrated) -> np.ndarray:
+    """Flatten one Preintegrated into a (FLAT_DIM,) float32 row."""
+    import numpy as _np
+    parts = [_np.asarray(p.dR).reshape(-1), _np.asarray(p.dV).reshape(-1),
+             _np.asarray(p.dP).reshape(-1), _np.asarray(p.JRg).reshape(-1),
+             _np.asarray(p.JVg).reshape(-1), _np.asarray(p.JVa).reshape(-1),
+             _np.asarray(p.JPg).reshape(-1), _np.asarray(p.JPa).reshape(-1),
+             _np.asarray(p.cov).reshape(-1),
+             _np.asarray(p.dT).reshape(-1),
+             _np.asarray(p.bg).reshape(-1), _np.asarray(p.ba).reshape(-1)]
+    return _np.concatenate(parts).astype(_np.float32)
+
+
+def flat_to_preint(row) -> Preintegrated:
+    """Inverse of preint_to_flat (accepts numpy or jax rows)."""
+    r = jnp.asarray(row, jnp.float32)
+    o = 0
+
+    def take(n, shape):
+        nonlocal o
+        v = r[o:o + n].reshape(shape)
+        o += n
+        return v
+
+    return Preintegrated(
+        dR=take(9, (3, 3)), dV=take(3, (3,)), dP=take(3, (3,)),
+        JRg=take(9, (3, 3)), JVg=take(9, (3, 3)), JVa=take(9, (3, 3)),
+        JPg=take(9, (3, 3)), JPa=take(9, (3, 3)), cov=take(81, (9, 9)),
+        dT=take(1, ()), bg=take(3, (3,)), ba=take(3, (3,)))

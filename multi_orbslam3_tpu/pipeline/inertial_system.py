@@ -60,6 +60,9 @@ class MonoInertialSlam(MonoSlam):
         self.kf_velocity = np.zeros((mk, 3), np.float32)
         self.kf_preint: List[Optional[pre.Preintegrated]] = [None] * mk
         self._accum: Optional[pre.Preintegrated] = None   # since last KF
+        # rolling (timestamp, per-frame window) pairs for retroactive
+        # KF0 -> KF1 assembly at two-view init
+        self._frame_windows: List[tuple] = []
         # VI pose-opt anchoring: state at the last tracked frame + the
         # preintegration accumulated since it (survives RECENTLY_LOST gaps)
         self._prev_state = None              # (T_cw, v, bg, ba)
@@ -105,6 +108,12 @@ class MonoInertialSlam(MonoSlam):
         """acc/gyro: (S, 3) samples since the previous frame; dt: (S,)
         with zeros for padding (reference GrabImuData + PreintegrateIMU)."""
         self._accumulate_imu(acc, gyro, dt)
+        # rolling per-frame windows: the two-view bootstrap is
+        # retroactive (frame pair chosen later), so KF0 -> KF1 must be
+        # re-assembled from frame windows at init time
+        self._frame_windows.append((timestamp, self._frame_window))
+        if len(self._frame_windows) > 240:
+            self._frame_windows.pop(0)
         return self.process_frame(img, timestamp)
 
     def _accumulate_imu(self, acc: np.ndarray, gyro: np.ndarray,
@@ -211,9 +220,29 @@ class MonoInertialSlam(MonoSlam):
     def _try_initialize(self, feats, ts):
         super()._try_initialize(feats, ts)
         if self.state == TrackState.OK:
-            # the two-view bootstrap created KF0+KF1 outside
-            # _insert_keyframe: attach the accumulated window to KF1
-            self.kf_preint[1] = self._accum
+            # the two-view bootstrap created two keyframes outside
+            # _insert_keyframe (at slots ref_kf-1, ref_kf — NOT always
+            # 0,1: a new-map re-init appends). The running accumulator
+            # spans since the START of the stream/last KF, but the
+            # bootstrap factor must span exactly the keyframe gap —
+            # rebuild it from the per-frame windows (using the stale
+            # accumulator injected a wrong preintegration factor at the
+            # chain root: its dT was the whole pre-init segment while
+            # the poses are one KF apart)
+            k1 = self.ref_kf
+            k0 = int(self.m.kf_parent[k1])
+            ts0 = float(self.m.kf_timestamp[k0])
+            ts1 = float(self.m.kf_timestamp[k1])
+            # kf_timestamp is float32 while frame labels are float64:
+            # compare with a tolerance well under the frame period, or the
+            # window at exactly ts0 leaks in and over-spans the factor
+            eps = 1e-3
+            win = None
+            for t, w in self._frame_windows:
+                if ts0 + eps < t <= ts1 + eps:
+                    win = w if win is None else \
+                        pre.merge_preintegrated(win, w)
+            self.kf_preint[k1] = win
             self._accum = None
 
     # ------------------------------------------------------------------

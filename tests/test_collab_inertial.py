@@ -99,3 +99,78 @@ def test_inertial_agent_collaborates():
     rmse_m = ate.ate_rmse(ate.camera_centers(est_m),
                           ate.camera_centers(gt_m))
     assert rmse_m < 0.12 * max(span, 1.0), rmse_m
+
+
+@pytest.mark.slow
+def test_preintegration_uplink_and_server_inertial_ba():
+    """The preintegration uplink (reference ships mpImuPreintegrated +
+    velocity inside KF messages) and its three server consumers:
+    chain bookkeeping, MergePrevious-on-erase (Communicator.cc:319-341),
+    and the FullInertialBA analog (Optimizer.cc:449)."""
+    from multi_orbslam3_tpu.imu import preintegration as pre
+
+    c = _config()
+    F = 60
+    seq = synthetic.make_sequence(c, n_frames=F, n_points=600, seed=7,
+                                  trajectory="forward", imu=True,
+                                  lateral=0.8, sway_freq=0.15)
+    tr = InProcessTransport()
+    cl = CollabClient(c, 0, tr, inertial=True)
+    server = CollabServer(c, tr, n_agents=1)
+    for i in range(F):
+        dt = np.diff(seq.imu_t[i], prepend=seq.imu_t[i][0] - 1 / 200.0)
+        dt = np.where(seq.imu_t[i] > 0, np.maximum(dt, 0), 0)
+        cl.process_frame_imu(seq.images[i], float(seq.timestamps[i]),
+                             seq.imu_acc[i], seq.imu_gyro[i], dt)
+        cl.comm_cycle()
+        server.comm_cycle()
+
+    # T_bc reached the server (non-identity in the synthetic config)
+    assert server.agents[0].T_bc is not None
+    np.testing.assert_allclose(server.agents[0].T_bc,
+                               np.asarray(cl.slam.T_bc), atol=1e-6)
+    valid = np.asarray(server.m.kf_valid)
+    own = np.nonzero(valid & (np.asarray(server.m.kf_agent) == 0))[0]
+    assert len(own) >= 4
+    # every non-first own keyframe carries a preintegration window whose
+    # span matches the keyframe timestamp gap
+    ts = np.asarray(server.m.kf_timestamp)[own]
+    dts = server.kf_imu[own, pre.FLAT_DT]
+    assert np.all(dts[1:] > 0), dts
+    np.testing.assert_allclose(dts[1:], np.diff(ts), atol=2e-2)
+    # velocities uplinked alongside
+    assert np.any(np.abs(server.kf_imu[own[1:], pre.FLAT_DIM:]) > 1e-3)
+
+    # MergePrevious on erasure: fold a middle keyframe's window into its
+    # successor; the successor's span becomes the sum of both
+    mid = int(own[2])
+    nxt = int(own[3])
+    span_before = float(server.kf_imu[nxt, pre.FLAT_DT])
+    erased_span = float(server.kf_imu[mid, pre.FLAT_DT])
+    server._merge_preint_forward(mid, 0)
+    assert float(server.kf_imu[mid, pre.FLAT_DT]) == 0.0
+    np.testing.assert_allclose(float(server.kf_imu[nxt, pre.FLAT_DT]),
+                               span_before + erased_span, atol=1e-5)
+    # restore for the BA below (re-split is impossible; just re-run on the
+    # merged chain — the pair mid->nxt is simply wider now)
+    server.m = server.m._replace(
+        kf_valid=server.m.kf_valid.at[mid].set(False))
+
+    # FullInertialBA analog: windows sweep the chain and keep the map
+    # consistent with ground truth
+    pose_before = np.asarray(server.m.kf_pose)
+    n_win = server.run_inertial_refinement()
+    assert n_win >= 1
+    pose_after = np.asarray(server.m.kf_pose)
+    assert np.all(np.isfinite(pose_after[own[own != mid]]))
+    # accuracy preserved (or improved) vs ground truth keyframe poses
+    from multi_orbslam3_tpu.eval import ate as ate_m
+    kf_ts = np.asarray(server.m.kf_timestamp)[own[own != mid]]
+    idx = [int(np.argmin(np.abs(np.asarray(seq.timestamps) - t)))
+           for t in kf_ts]
+    gt_c = ate_m.camera_centers(seq.T_cw[idx])
+    for est in (pose_before, pose_after):
+        c_est = ate_m.camera_centers(est[own[own != mid]])
+        r = ate_m.ate_rmse(c_est, gt_c)
+        span = float(np.linalg.norm(gt_c.max(0) - gt_c.min(0)))
+        assert r < 0.15 * max(span, 1.0), r
