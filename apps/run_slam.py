@@ -61,6 +61,9 @@ def main() -> None:
                     help="EuRoC sequence root (with mav0/); synthetic if absent")
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--no-loop-closing", action="store_true")
+    ap.add_argument("--localization", default=None, metavar="MAP_NPZ",
+                    help="localization-only mode against a frozen map "
+                         "checkpoint (ActivateLocalizationMode analog)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -121,6 +124,8 @@ def main() -> None:
 
     slam = build_system(sensor, c,
                         enable_loop_closing=not args.no_loop_closing)
+    if args.localization:
+        slam.activate_localization_mode(args.localization)
 
     def imu_batch(i):
         dt = np.diff(seq.imu_t[i], prepend=seq.imu_t[i][0] - 1 / 200.0)

@@ -105,6 +105,8 @@ class ForeignKFPayload:
     angle: np.ndarray           # (B, N)
     feat_valid: np.ndarray      # (B, N) bool
     mp_server: np.ndarray       # (B, N) int32 server MP slot per feature
+    cam: Optional[np.ndarray] = None   # (B, 4) owner's rectified pinhole
+    # (fx, fy, cx, cy) — heterogeneous agents (ClientHandler.cc:26-66)
 
 
 @dataclasses.dataclass
@@ -137,6 +139,12 @@ class MapDelta:
     foreign_mps: Optional[ForeignMPPayload] = None
     erased_kf: Optional[np.ndarray] = None      # (E,) int32 local ids
     erased_mp: Optional[np.ndarray] = None
+    # server->client revocation of FOREIGN entities previously shipped in
+    # the vicinity downlink and since culled server-side (the reference's
+    # erasure flow covers every map consumer, Communicator.cc:309-354);
+    # ids are SERVER slots, the client resolves them via its foreign maps
+    foreign_erased_kf: Optional[np.ndarray] = None
+    foreign_erased_mp: Optional[np.ndarray] = None
     closest_kf: int = -1                        # client's current ref KF
     # IMU-init gauge handoff (mScale/mRgw analog, Map.cc:497-503)
     scale: float = 1.0
@@ -145,6 +153,12 @@ class MapDelta:
     # camera->body extrinsics of the sending agent (ImuCalib.T_bc; the
     # server needs it to evaluate preintegration factors in FullInertialBA)
     T_bc: Optional[np.ndarray] = None           # (4, 4)
+    # the sending agent's (rectified) pinhole intrinsics (fx, fy, cx, cy)
+    # — per-client camera model (reference builds Pinhole/KannalaBrandt8
+    # per client from Server/Camera_* params, ClientHandler.cc:26-66;
+    # KB8 clients rectify to an ideal pinhole at extraction, so the wire
+    # model is always pinhole)
+    cam: Optional[np.ndarray] = None            # (4,)
     # reliability: server->client cumulative ack of in-order-processed
     # uplink seq (the reference's open-ack lists, Communicator.h:162-165)
     ack_seq: int = -1
@@ -171,10 +185,16 @@ class MapDelta:
             arrays["erased_kf"] = self.erased_kf
         if self.erased_mp is not None:
             arrays["erased_mp"] = self.erased_mp
+        if self.foreign_erased_kf is not None:
+            arrays["foreign_erased_kf"] = self.foreign_erased_kf
+        if self.foreign_erased_mp is not None:
+            arrays["foreign_erased_mp"] = self.foreign_erased_mp
         if self.R_gw is not None:
             arrays["R_gw"] = self.R_gw
         if self.T_bc is not None:
             arrays["T_bc"] = self.T_bc
+        if self.cam is not None:
+            arrays["cam"] = self.cam
         return codec.pack(meta, arrays)
 
     @classmethod
@@ -215,4 +235,7 @@ class MapDelta:
                    foreign_mps=build("foreign_mps", ForeignMPPayload),
                    erased_kf=arrays.get("erased_kf"),
                    erased_mp=arrays.get("erased_mp"),
-                   R_gw=arrays.get("R_gw"), T_bc=arrays.get("T_bc"))
+                   foreign_erased_kf=arrays.get("foreign_erased_kf"),
+                   foreign_erased_mp=arrays.get("foreign_erased_mp"),
+                   R_gw=arrays.get("R_gw"), T_bc=arrays.get("T_bc"),
+                   cam=arrays.get("cam"))

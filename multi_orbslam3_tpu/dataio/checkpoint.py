@@ -39,6 +39,11 @@ def load_map(path: str) -> tuple[MapState, Dict[str, np.ndarray]]:
             k, n = data["map.kf_mp"].shape
             fields[name] = jnp.full((k, n), -1.0, jnp.float32)
             continue
+        if key not in data and name == "kf_cam":
+            # pre-heterogeneous-camera checkpoints: all-default marker
+            k = data["map.kf_mp"].shape[0]
+            fields[name] = jnp.zeros((k, 4), jnp.float32)
+            continue
         fields[name] = jnp.asarray(data[key])
     extra = {k[len("extra."):]: v for k, v in data.items()
              if k.startswith("extra.")}

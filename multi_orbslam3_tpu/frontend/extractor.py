@@ -102,6 +102,9 @@ def _extract_impl(img: jnp.ndarray, fx, fy, cx_, cy_, dist,
                   n_levels: int, scale_factor: float, cell_size: int,
                   fast_hi: float = 20.0, fast_lo: float = 7.0,
                   model: str = "pinhole") -> FrameFeatures:
+    # uint8 input is the wire format (the host->device tunnel is 4x
+    # cheaper than float32 frames); all compute is float32 from here
+    img = img.astype(jnp.float32)
     counts = level_feature_counts(n_features, n_levels, scale_factor)
     levels = pyramid.build_pyramid(img, n_levels, scale_factor)
 

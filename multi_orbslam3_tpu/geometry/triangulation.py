@@ -69,11 +69,13 @@ def parallax_cos(T1: jnp.ndarray, T2: jnp.ndarray,
 
 def triangulate_and_check(T1, T2, bearing1, bearing2, K, uv1, uv2,
                           max_reproj_err: float = 5.991,
-                          min_parallax_cos: float = 0.9998
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                          min_parallax_cos: float = 0.9998,
+                          K2=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Triangulate + the reference's validity cascade (positive depth in both
     views, reprojection chi2 within threshold, sufficient parallax),
     returned as a mask. max_reproj_err is in squared pixels (chi2 2-dof 95%).
+    K2: view-2 intrinsics when the two views come from DIFFERENT cameras
+    (heterogeneous agents); defaults to K.
     """
     from multi_orbslam3_tpu.geometry import camera as cam
 
@@ -83,7 +85,7 @@ def triangulate_and_check(T1, T2, bearing1, bearing2, K, uv1, uv2,
     pc1 = jnp.einsum("...ij,...j->...i", T1[..., :3, :3], p) + T1[..., :3, 3]
     pc2 = jnp.einsum("...ij,...j->...i", T2[..., :3, :3], p) + T2[..., :3, 3]
     e1 = cam.project(K, pc1) - uv1
-    e2 = cam.project(K, pc2) - uv2
+    e2 = cam.project(K if K2 is None else K2, pc2) - uv2
     err1 = jnp.sum(e1 * e1, axis=-1)
     err2 = jnp.sum(e2 * e2, axis=-1)
     cosp = parallax_cos(T1, T2, p)

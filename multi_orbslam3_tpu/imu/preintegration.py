@@ -143,22 +143,31 @@ def predict_state(R_wb: jnp.ndarray, v_w: jnp.ndarray, p_w: jnp.ndarray,
 def merge_preintegrated(p1: Preintegrated, p2: Preintegrated) -> Preintegrated:
     """Compose two consecutive windows (reference MergePrevious, used when a
     culled keyframe's window folds into its successor's,
-    src/Communicator.cc:319-341)."""
-    dR = p1.dR @ p2.dR
-    dV = p1.dV + p1.dR @ p2.dV
-    dP = p1.dP + p1.dV * p2.dT + p1.dR @ p2.dP
-    # jacobian composition (first order)
-    JRg = p2.dR.T @ p1.JRg + p2.JRg
-    JVg = p1.JVg + p1.dR @ p2.JVg - p1.dR @ so3.hat(p2.dV) @ p1.JRg
+    src/Communicator.cc:319-341).
+
+    The two windows may have been integrated at different biases (the
+    client's bias evolves per frame after IMU init; the reference
+    re-integrates both windows at a common bias in MergePrevious). The
+    merged window is stamped with p1's bias, so p2's deltas are first
+    first-order-corrected to p1's bias — otherwise the stored bias would
+    be inconsistent with the p2 segment and uncorrectable later via
+    bias_corrected_delta."""
+    dR2, dV2, dP2 = bias_corrected_delta(p2, p1.bg, p1.ba)
+    dR = p1.dR @ dR2
+    dV = p1.dV + p1.dR @ dV2
+    dP = p1.dP + p1.dV * p2.dT + p1.dR @ dP2
+    # jacobian composition (first order, at the corrected deltas)
+    JRg = dR2.T @ p1.JRg + p2.JRg
+    JVg = p1.JVg + p1.dR @ p2.JVg - p1.dR @ so3.hat(dV2) @ p1.JRg
     JVa = p1.JVa + p1.dR @ p2.JVa
     JPg = p1.JPg + p1.JVg * p2.dT + p1.dR @ p2.JPg \
-        - p1.dR @ so3.hat(p2.dP) @ p1.JRg
+        - p1.dR @ so3.hat(dP2) @ p1.JRg
     JPa = p1.JPa + p1.JVa * p2.dT + p1.dR @ p2.JPa
     # covariance: transport p1's through p2's window + add p2's
     A = jnp.zeros((9, 9))
-    A = A.at[0:3, 0:3].set(p2.dR.T)
-    A = A.at[3:6, 0:3].set(-p1.dR @ so3.hat(p2.dV))
-    A = A.at[6:9, 0:3].set(-p1.dR @ so3.hat(p2.dP))
+    A = A.at[0:3, 0:3].set(dR2.T)
+    A = A.at[3:6, 0:3].set(-p1.dR @ so3.hat(dV2))
+    A = A.at[6:9, 0:3].set(-p1.dR @ so3.hat(dP2))
     A = A.at[3:6, 3:6].set(jnp.eye(3))
     A = A.at[6:9, 3:6].set(jnp.eye(3) * p2.dT)
     A = A.at[6:9, 6:9].set(jnp.eye(3))

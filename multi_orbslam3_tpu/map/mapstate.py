@@ -52,6 +52,12 @@ class MapState(NamedTuple):
     kf_ur: jnp.ndarray           # (K, N) f32 stereo right-u (reference
                                  # mvuRight, src/Frame.cc:785-965); -1 = mono
                                  # or unmatched feature
+    kf_cam: jnp.ndarray          # (K, 4) f32 per-KF pinhole (fx, fy, cx, cy)
+                                 # — heterogeneous agents carry their own
+                                 # (rectified) intrinsics (reference builds a
+                                 # per-client camera model, ClientHandler.cc:
+                                 # 26-66); all-zero row = "use the caller's
+                                 # default camera"
     # --- map points ---
     mp_pos: jnp.ndarray          # (P, 3)
     mp_valid: jnp.ndarray        # (P,) bool
@@ -99,6 +105,7 @@ def empty_map(max_kf: int, max_mp: int, n_feat: int) -> MapState:
         kf_feat_valid=jnp.zeros((max_kf, n_feat), bool),
         kf_mp=jnp.full((max_kf, n_feat), NO_MP, i32),
         kf_ur=jnp.full((max_kf, n_feat), -1.0, f32),
+        kf_cam=jnp.zeros((max_kf, 4), f32),
         mp_pos=jnp.zeros((max_mp, 3), f32),
         mp_valid=jnp.zeros(max_mp, bool),
         mp_map_id=jnp.zeros(max_mp, i32),
@@ -119,17 +126,21 @@ def empty_map(max_kf: int, max_mp: int, n_feat: int) -> MapState:
 @jax.jit
 def add_keyframe(m: MapState, feats: FrameFeatures, pose: jnp.ndarray,
                  timestamp, mp_assoc: jnp.ndarray, parent,
-                 agent=0, u_r=None) -> tuple[MapState, jnp.ndarray]:
+                 agent=0, u_r=None, cam4=None) -> tuple[MapState, jnp.ndarray]:
     """Insert a keyframe at the next free slot.
 
     mp_assoc: (N,) int32 map-point slot per feature (NO_MP where none) —
     the tracking thread's current associations (reference CreateNewKeyFrame,
     src/Tracking.cc:2952). u_r: (N,) stereo right-u per feature (reference
-    mvuRight; -1 where unmatched), None for mono frames.
+    mvuRight; -1 where unmatched), None for mono frames. cam4: (4,) the
+    owning camera's (fx, fy, cx, cy); None leaves the all-zero
+    "default camera" marker.
     Returns (new_map, kf_slot).
     """
     if u_r is None:
         u_r = jnp.full((m.n_feat,), -1.0, jnp.float32)
+    if cam4 is None:
+        cam4 = jnp.zeros(4, jnp.float32)
     k = m.n_kf
     in_cap = k < m.max_kf
     k_safe = jnp.minimum(k, m.max_kf - 1)
@@ -154,6 +165,8 @@ def add_keyframe(m: MapState, feats: FrameFeatures, pose: jnp.ndarray,
             sel(feats.valid, m.kf_feat_valid[k_safe])),
         kf_mp=m.kf_mp.at[k_safe].set(sel(mp_assoc, m.kf_mp[k_safe])),
         kf_ur=m.kf_ur.at[k_safe].set(sel(u_r, m.kf_ur[k_safe])),
+        kf_cam=m.kf_cam.at[k_safe].set(
+            sel(jnp.asarray(cam4, jnp.float32), m.kf_cam[k_safe])),
         n_kf=jnp.where(in_cap, k + 1, k),
     )
     return m, jnp.where(in_cap, k, jnp.int32(-1))
@@ -165,7 +178,7 @@ def add_keyframes_batch(m: MapState, poses: jnp.ndarray,
                         parents: jnp.ndarray, assocs: jnp.ndarray,
                         uv: jnp.ndarray, desc: jnp.ndarray,
                         level: jnp.ndarray, angle: jnp.ndarray,
-                        feat_valid: jnp.ndarray, count
+                        feat_valid: jnp.ndarray, count, cams=None
                         ) -> tuple[MapState, jnp.ndarray]:
     """Batch-insert up to B keyframes at consecutive slots — ONE compiled
     program per comm cycle instead of per-KF dispatches (the server-ingest
@@ -177,6 +190,8 @@ def add_keyframes_batch(m: MapState, poses: jnp.ndarray,
     with -1 for padding/over-capacity rows.
     """
     B = poses.shape[0]
+    if cams is None:
+        cams = jnp.zeros((B, 4), jnp.float32)
     idx = jnp.arange(B, dtype=jnp.int32)
     slots = m.n_kf + idx
     ok = (idx < count) & (slots < m.max_kf)
@@ -201,6 +216,7 @@ def add_keyframes_batch(m: MapState, poses: jnp.ndarray,
         kf_feat_valid=scat(m.kf_feat_valid, feat_valid),
         kf_mp=scat(m.kf_mp, assocs),
         kf_ur=scat(m.kf_ur, jnp.full((B, m.n_feat), -1.0, jnp.float32)),
+        kf_cam=scat(m.kf_cam, jnp.asarray(cams, jnp.float32)),
         n_kf=m.n_kf + jnp.sum(ok.astype(jnp.int32)),
     )
     return m, jnp.where(ok, slots, jnp.int32(-1))
@@ -301,17 +317,47 @@ def add_mappoints_raw(m: MapState, pos: jnp.ndarray, ok: jnp.ndarray,
     return m, slots
 
 
+def kf_intrinsics(m: MapState, kf, K_default):
+    """Per-keyframe pinhole intrinsics with fallback: a keyframe whose
+    kf_cam row was never set (all-zero, e.g. pre-collab single-camera
+    sessions) uses the caller's default camera. `kf` may be a scalar slot
+    or an index array — the returned PinholeK fields broadcast to its
+    shape (every cam.project/unproject consumer broadcasts)."""
+    from multi_orbslam3_tpu.geometry import camera as _cam
+    row = m.kf_cam[kf]
+    have = row[..., 0] > 0
+    return _cam.PinholeK(
+        fx=jnp.where(have, row[..., 0], K_default.fx),
+        fy=jnp.where(have, row[..., 1], K_default.fy),
+        cx=jnp.where(have, row[..., 2], K_default.cx),
+        cy=jnp.where(have, row[..., 3], K_default.cy))
+
+
+@jax.jit
 def covisibility_row(m: MapState, kf: jnp.ndarray) -> jnp.ndarray:
     """Shared-map-point counts between keyframe `kf` and every other KF
     (reference KeyFrame::UpdateConnections weight computation).
 
-    Returns (K,) int32. One-hot matmul over MP slots — MXU-shaped.
+    Returns (K,) int32. Built gather-side: one small scatter marks kf's
+    landmark membership over P, then every KF's count is a gather + sum
+    over its own feature rows — the full (K, P) observation-mask scatter
+    (512k updates, ~16 ms on TPU) never materializes. Jitted: host-loop
+    callers (loop closer, server PR) would otherwise pay ~10 eager
+    dispatch round-trips over the device tunnel per call.
     """
-    obs = kf_mp_mask(m)                     # (K, P) bool
-    row = obs[kf].astype(jnp.float32)       # (P,)
-    counts = obs.astype(jnp.float32) @ row  # (K,)
-    counts = counts.at[kf].set(0.0)
-    return counts.astype(jnp.int32)
+    K, N = m.kf_mp.shape
+    P = m.max_mp
+    row_kf = m.kf_mp[kf]
+    row_ok = (row_kf >= 0) & m.kf_feat_valid[kf]
+    member = jnp.zeros(P + 1, jnp.float32).at[
+        jnp.where(row_ok, row_kf, P)].max(row_ok.astype(jnp.float32))
+    member = member * jnp.concatenate(
+        [m.mp_valid, jnp.zeros(1, bool)]).astype(jnp.float32)
+    ok = (m.kf_mp >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    slot = jnp.where(ok, m.kf_mp, P)                 # (K, N)
+    counts = jnp.sum(member[slot], axis=1).astype(jnp.int32)
+    counts = counts.at[kf].set(0)
+    return counts
 
 
 def covisibility_matrix(m: MapState) -> jnp.ndarray:

@@ -223,24 +223,33 @@ def global_bundle_adjust_sharded(poses, fixed, points, point_valid,
         inv_sigma2=take(obs.inv_sigma2),
         valid=jnp.asarray(np.asarray(obs.valid)[flat] & ok),
         u_r=None if obs.u_r is None else take(obs.u_r))
+    # per-observation intrinsics (heterogeneous agents): K fields shaped
+    # (O,) are reordered and sharded exactly like the observation rows
+    batched_K = jnp.ndim(K.fx) > 0
+    K_p = cam.PinholeK(*(take(f) for f in K)) if batched_K else K
     mesh = Mesh(np.array(devices), ("obs",))
     spec = BAObservations(
         kf=P("obs"), pt=P("obs"), uv=P("obs"), inv_sigma2=P("obs"),
         valid=P("obs"),
         u_r=None if obs.u_r is None else P("obs"))
+    kspec = cam.PinholeK(*([P("obs")] * 4)) if batched_K \
+        else cam.PinholeK(*([P()] * 4))
 
     @jax.jit
-    def run(poses, fixed, points, point_valid, obs_in):
-        def inner(po, fx, pt, pv, o):
-            return global_bundle_adjust(po, fx, pt, pv, o, K, iters=iters,
+    def run(poses, fixed, points, point_valid, obs_in, K_in):
+        def inner(po, fx, pt, pv, o, k):
+            return global_bundle_adjust(po, fx, pt, pv, o, k, iters=iters,
                                         cg_iters=cg_iters, axis_name="obs",
                                         point_aligned=True)
         return shard_map(
             inner, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), spec),
+            in_specs=(P(), P(), P(), P(), spec, kspec),
             out_specs=GBAResult(poses=P(), points=P(), chi2=P()))(
-            poses, fixed, points, point_valid, obs_in)
+            poses, fixed, points, point_valid, obs_in, K_in)
 
     obs_dev = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), obs_p, spec)
-    return run(poses, fixed, points, point_valid, obs_dev)
+    K_dev = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
+        K_p, kspec)
+    return run(poses, fixed, points, point_valid, obs_dev, K_dev)

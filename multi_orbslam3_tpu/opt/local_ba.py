@@ -99,18 +99,70 @@ def _chi2(r, inv_sigma2):
     return jnp.sum(r * r, axis=-1) * inv_sigma2
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "structure_only"))
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (adjugate / det). jnp.linalg.inv
+    lowers to pivoted LU per matrix — serial scalar work the TPU hates;
+    the adjugate is nine fused multiplies."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    adj = jnp.stack([
+        jnp.stack([c00, c10, c20], -1),
+        jnp.stack([c01, c11, c21], -1),
+        jnp.stack([c02, c12, c22], -1)], -2)
+    return adj * inv_det[..., None, None]
+
+
+def _grouped_point_blocks(pt_k, prodE, prodH, prodb, Pw):
+    """Assemble the landmark-side normal blocks with one-hot matmuls when
+    observations are GROUPED by keyframe (obs row k*N+n belongs to window
+    KF k — the layout every pipeline caller uses). A (N, Pw) one-hot per
+    keyframe turns the scatter-adds into MXU matmuls; zero-weight rows
+    contribute zero products so index parking needs no masking.
+    Returns E (Kw,Pw,6,3), Hpp (Pw,3,3), b_p (Pw,3)."""
+    Kw, N = pt_k.shape
+
+    def body(acc, x):
+        p, pe, ph, pb = x
+        oh = (p[:, None] == jnp.arange(Pw)[None, :]).astype(jnp.float32)
+        E_k = jnp.einsum("np,nc->pc", oh, pe)
+        return (acc[0] + jnp.einsum("np,nc->pc", oh, ph),
+                acc[1] + jnp.einsum("np,nc->pc", oh, pb)), E_k
+
+    (Hpp9, bp), E_all = jax.lax.scan(
+        body, (jnp.zeros((Pw, 9)), jnp.zeros((Pw, 3))),
+        (pt_k, prodE, prodH, prodb))
+    return (E_all.reshape(Kw, Pw, 6, 3), Hpp9.reshape(Pw, 3, 3), bp)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "structure_only",
+                                             "grouped"))
 def bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray, points: jnp.ndarray,
                   obs: BAObservations, K: cam.PinholeK, iters: int = 10,
                   chi2_th: float = robust.CHI2_MONO,
                   structure_only: bool = False,
-                  bf: float = 0.0) -> BAResult:
+                  bf: float = 0.0, grouped: bool = False) -> BAResult:
     """poses: (Kw,4,4) T_cw; fixed: (Kw,) bool anchor mask; points: (Pw,3).
 
     Levenberg damping with step rejection (chi2 monitored each iteration,
     reverting bad steps) — the fixed-iteration analog of g2o's LM loop.
     bf = baseline * fx; only used when obs.u_r is present (stereo edges use
     the 3-dof chi2 threshold, reference Optimizer.cc thChi2Stereo=7.815).
+    grouped=True asserts the caller's observation layout is (Kw, N)
+    row-major (obs.kf == repeat(arange(Kw), N)) and switches the normal-
+    equation assembly from scatter-adds to one-hot matmuls + block sums —
+    the scatters were ~half the per-iteration wall time on TPU.
     """
     Kw = poses.shape[0]
     Pw = points.shape[0]
@@ -135,19 +187,26 @@ def bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray, points: jnp.ndarray,
 
         Jc_w = J_cam * w[:, None, None]
         Jp_w = J_pt * w[:, None, None]
-        # camera diagonal blocks + rhs
-        Hcc = jnp.zeros((Kw, 6, 6)).at[obs.kf].add(
-            jnp.einsum("ori,orj->oij", J_cam, Jc_w))
-        b_c = jnp.zeros((Kw, 6)).at[obs.kf].add(
-            jnp.einsum("ori,or->oi", Jc_w, r))
-        # landmark diagonal blocks + rhs
-        Hpp = jnp.zeros((Pw, 3, 3)).at[obs.pt].add(
-            jnp.einsum("ori,orj->oij", J_pt, Jp_w))
-        b_p = jnp.zeros((Pw, 3)).at[obs.pt].add(
-            jnp.einsum("ori,or->oi", Jp_w, r))
-        # coupling blocks (dense E)
-        E = jnp.zeros((Kw, Pw, 6, 3)).at[obs.kf, obs.pt].add(
-            jnp.einsum("ori,orj->oij", Jc_w, J_pt))
+        prod_Hcc = jnp.einsum("ori,orj->oij", J_cam, Jc_w)
+        prod_bc = jnp.einsum("ori,or->oi", Jc_w, r)
+        if grouped:
+            N = obs.pt.shape[0] // Kw
+            Hcc = prod_Hcc.reshape(Kw, N, 6, 6).sum(1)
+            b_c = prod_bc.reshape(Kw, N, 6).sum(1)
+            E, Hpp, b_p = _grouped_point_blocks(
+                obs.pt.reshape(Kw, N),
+                jnp.einsum("ori,orj->oij", Jc_w, J_pt).reshape(Kw, N, 18),
+                jnp.einsum("ori,orj->oij", J_pt, Jp_w).reshape(Kw, N, 9),
+                jnp.einsum("ori,or->oi", Jp_w, r).reshape(Kw, N, 3), Pw)
+        else:
+            Hcc = jnp.zeros((Kw, 6, 6)).at[obs.kf].add(prod_Hcc)
+            b_c = jnp.zeros((Kw, 6)).at[obs.kf].add(prod_bc)
+            Hpp = jnp.zeros((Pw, 3, 3)).at[obs.pt].add(
+                jnp.einsum("ori,orj->oij", J_pt, Jp_w))
+            b_p = jnp.zeros((Pw, 3)).at[obs.pt].add(
+                jnp.einsum("ori,or->oi", Jp_w, r))
+            E = jnp.zeros((Kw, Pw, 6, 3)).at[obs.kf, obs.pt].add(
+                jnp.einsum("ori,orj->oij", Jc_w, J_pt))
 
         eye3 = jnp.eye(3)
         Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
@@ -155,7 +214,7 @@ def bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray, points: jnp.ndarray,
         # guard unobserved landmarks (zero blocks)
         pt_seen = jnp.diagonal(Hpp, axis1=-2, axis2=-1).sum(-1) > 1e-9
         Hpp_d = jnp.where(pt_seen[:, None, None], Hpp_d, eye3)
-        C_inv = jnp.linalg.inv(Hpp_d)
+        C_inv = inv3x3(Hpp_d)
 
         if structure_only:
             dp = -jnp.einsum("pab,pb->pa", C_inv, b_p)

@@ -48,9 +48,20 @@ def make_edges(S_nodes: jnp.ndarray, i: jnp.ndarray, j: jnp.ndarray,
                           valid=valid)
 
 
-def _edge_residual(S_ij_flat, Si_flat, Sj_flat, di, dj):
-    Si = sim3.retract(sim3.unstack(Si_flat), di)
-    Sj = sim3.retract(sim3.unstack(Sj_flat), dj)
+def _retract(S: sim3.Sim3, zeta, right: bool) -> sim3.Sim3:
+    """Left (camera-frame) or right (world-frame) perturbation. The 4-DoF
+    inertial mode needs the RIGHT side: nodes are S_cw, so a right
+    perturbation acts on WORLD coordinates, where "rotation about z only"
+    is exactly the gravity-preserving yaw the reference's
+    VertexPose4DoF/Edge4DoF parameterize (Optimizer.cc:8430)."""
+    if right:
+        return sim3.compose(S, sim3.exp(zeta))
+    return sim3.compose(sim3.exp(zeta), S)
+
+
+def _edge_residual(S_ij_flat, Si_flat, Sj_flat, di, dj, right=False):
+    Si = _retract(sim3.unstack(Si_flat), di, right)
+    Sj = _retract(sim3.unstack(Sj_flat), dj, right)
     return sim3.log(sim3.compose(sim3.compose(sim3.unstack(S_ij_flat), Sj),
                                  sim3.inverse(Si)))
 
@@ -68,6 +79,9 @@ def optimize_pose_graph(S_nodes: jnp.ndarray, fixed: jnp.ndarray,
     yaw_only: additionally freeze roll/pitch (the reference's 4-DoF
     inertial pose graph, Optimizer::OptimizeEssentialGraph4DoF) — gravity
     direction is observable with an IMU so only yaw + translation float.
+    In this mode the perturbation switches to the RIGHT (world) side so
+    the zeroed omega_x/omega_y really are world roll/pitch: the corrected
+    poses satisfy R_new z = R_old z (gravity column invariant).
 
     solver: "dense" materializes H (K*7)^2 and Cholesky-solves — right for
     client-scale maps (K<=512 -> 3584^2, MXU territory). "cg" never
@@ -95,11 +109,11 @@ def optimize_pose_graph(S_nodes: jnp.ndarray, fixed: jnp.ndarray,
         Sj_flat = S_cur[edges.j]
 
         def one(S_ij_f, Si_f, Sj_f):
-            r = _edge_residual(S_ij_f, Si_f, Sj_f, zero, zero)
+            r = _edge_residual(S_ij_f, Si_f, Sj_f, zero, zero, yaw_only)
             Ji = jax.jacfwd(_edge_residual, argnums=3)(S_ij_f, Si_f, Sj_f,
-                                                       zero, zero)
+                                                       zero, zero, yaw_only)
             Jj = jax.jacfwd(_edge_residual, argnums=4)(S_ij_f, Si_f, Sj_f,
-                                                       zero, zero)
+                                                       zero, zero, yaw_only)
             return r, Ji, Jj
 
         r, Ji, Jj = jax.vmap(one)(edges.S_ij, Si_flat, Sj_flat)   # (E,7) ...
@@ -184,7 +198,7 @@ def optimize_pose_graph(S_nodes: jnp.ndarray, fixed: jnp.ndarray,
                 0, cg_iters, cg_body, (x0, r0, z0, jnp.sum(r0 * z0)))
             d = x * free
         d = jnp.where(jnp.isfinite(d), d, 0.0)
-        return sim3.stack(sim3.retract(sim3.unstack(S_cur), d))
+        return sim3.stack(_retract(sim3.unstack(S_cur), d, yaw_only))
 
     def body(_, S_cur):
         return build_and_solve(S_cur)

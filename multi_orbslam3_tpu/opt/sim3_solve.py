@@ -105,7 +105,7 @@ def optimize_sim3_reprojection(S0: Sim3, K, T_cur: jnp.ndarray,
                                inv_sigma2_cur: jnp.ndarray,
                                inv_sigma2_cand: jnp.ndarray,
                                iters: int = 10, fix_scale: bool = False,
-                               chi2_th: float = 9.21):
+                               chi2_th: float = 9.21, K_cand=None):
     """Reprojection-space Sim3 refinement (reference Optimizer::
     OptimizeSim3, src/Optimizer.cc:4031): given the 3D-3D RANSAC seed S
     with p_cur ~ S(p_cand), minimize the TWO-WAY pixel reprojection error
@@ -120,6 +120,8 @@ def optimize_sim3_reprojection(S0: Sim3, K, T_cur: jnp.ndarray,
     from multi_orbslam3_tpu.geometry import camera as cam
     from multi_orbslam3_tpu.geometry import se3 as se3m
 
+    if K_cand is None:      # heterogeneous agents: candidate-side camera
+        K_cand = K
     S0_flat = sim3.stack(S0)
     zero = jnp.zeros(7)
     dof = jnp.ones(7)
@@ -131,7 +133,7 @@ def optimize_sim3_reprojection(S0: Sim3, K, T_cur: jnp.ndarray,
         pc_f = se3m.apply(T_cur[None], sim3.apply(S, p_cand))
         r_f = cam.project(K, pc_f) - uv_cur
         pc_b = se3m.apply(T_cand[None], sim3.apply(sim3.inverse(S), p_cur))
-        r_b = cam.project(K, pc_b) - uv_cand
+        r_b = cam.project(K_cand, pc_b) - uv_cand
         behind_f = pc_f[..., 2] <= 1e-3
         behind_b = pc_b[..., 2] <= 1e-3
         return r_f, r_b, behind_f, behind_b

@@ -93,6 +93,12 @@ class MonoInertialSlam(MonoSlam):
         return super()._need_keyframe(n_inliers)
 
     # ------------------------------------------------------------------
+    def _yaw_only(self) -> bool:
+        """Gravity-aligned metric map after IMU init: loop corrections run
+        the 4-DoF essential graph (yaw + translation; scale pinned)."""
+        return self.imu_initialized
+
+    # ------------------------------------------------------------------
     def _T_wb(self, T_cw: np.ndarray) -> np.ndarray:
         """World-from-body pose for a camera pose: T_wb = (T_bc T_cw)^-1."""
         return np.linalg.inv(self.T_bc @ T_cw).astype(np.float32)
@@ -107,14 +113,17 @@ class MonoInertialSlam(MonoSlam):
                           dt: np.ndarray) -> TrackState:
         """acc/gyro: (S, 3) samples since the previous frame; dt: (S,)
         with zeros for padding (reference GrabImuData + PreintegrateIMU)."""
+        t = self._rel_ts(timestamp)
         self._accumulate_imu(acc, gyro, dt)
         # rolling per-frame windows: the two-view bootstrap is
         # retroactive (frame pair chosen later), so KF0 -> KF1 must be
-        # re-assembled from frame windows at init time
-        self._frame_windows.append((timestamp, self._frame_window))
+        # re-assembled from frame windows at init time. Relative time:
+        # comparisons against float32 kf_timestamp must not lose sub-frame
+        # precision (epoch-scale float32 spacing is 128 s).
+        self._frame_windows.append((t, self._frame_window))
         if len(self._frame_windows) > 240:
             self._frame_windows.pop(0)
-        return self.process_frame(img, timestamp)
+        return self._process_frame(img, t)
 
     def _accumulate_imu(self, acc: np.ndarray, gyro: np.ndarray,
                         dt: np.ndarray) -> None:
@@ -277,14 +286,22 @@ class MonoInertialSlam(MonoSlam):
         if not refine:
             if n < self._init_kf_count:
                 return
-        preints = [self.kf_preint[k] for k in range(1, n)]
+        # valid OWN slots only (erasures/foreign ingest leave holes; the
+        # surviving windows span between consecutive valid own KFs)
+        validm = np.asarray(self.m.kf_valid[:n])
+        agentm = np.asarray(self.m.kf_agent[:n])
+        own = [k for k in range(n)
+               if validm[k] and agentm[k] == self.agent]
+        if len(own) < 2:
+            return
+        preints = [self.kf_preint[k] for k in own[1:]]
         if any(p is None for p in preints):
             return
         total_t = float(sum(float(p.dT) for p in preints))
         if not refine and total_t < self._min_init_time:
             return
         # body poses from camera poses through the extrinsics
-        T_cw = np.array(self.m.kf_pose[:n])
+        T_cw = np.array(self.m.kf_pose)[own]
         T_wb = np.stack([self._T_wb(T) for T in T_cw])
         stacked = jax.tree_util.tree_map(
             lambda *x: jnp.stack(x), *([pre.empty_preintegrated()] + preints))
@@ -304,8 +321,8 @@ class MonoInertialSlam(MonoSlam):
         # velocities from the init are metric already (the residual scales
         # positions, not velocities) — the re-gauge only rotates them
         v = np.asarray(res.velocities)
-        self.kf_velocity[:n] = (R_wg.T @ v.T).T.astype(np.float32)
-        self.v_cur = self.kf_velocity[n - 1]
+        self.kf_velocity[own] = (R_wg.T @ v.T).T.astype(np.float32)
+        self.v_cur = self.kf_velocity[own[-1]]
         self._v_fresh = True
         self.bg = np.asarray(res.bg)
         self.ba_bias = np.asarray(res.ba)
@@ -345,17 +362,30 @@ class MonoInertialSlam(MonoSlam):
         anchor prefix so shared landmarks stay consistent with the
         out-of-window map — the reference's fixed-KF ring)."""
         n = int(self.m.n_kf)
-        k0 = max(0, k_last - window - n_anchor + 1)
-        slots = list(range(k0, k_last + 1))
+        # VALID slots only: the server's culling erasures leave holes in
+        # the slot range, and a merged preintegration window on a
+        # survivor spans from the previous VALID keyframe — pairing it
+        # against an erased slot's stale pose feeds the BA a factor
+        # anchored at garbage (post-correction velocity blowup)
+        valid = np.asarray(self.m.kf_valid[:n])
+        agent = np.asarray(self.m.kf_agent[:n])
+        own = [k for k in range(n)
+               if valid[k] and k <= k_last and agent[k] == self.agent]
+        slots = own[-(window + n_anchor):]
         Kw = len(slots)
         n_fixed_prefix = max(1, Kw - window)
         if Kw < 2:
             return
+        ts = np.asarray(self.m.kf_timestamp[:n])
         preints = [pre.empty_preintegrated()]
         pair_valid = [False]
-        for k in slots[1:]:
+        for i, k in enumerate(slots[1:], start=1):
             p = self.kf_preint[k]
-            if p is None:
+            gap = float(ts[k] - ts[slots[i - 1]])
+            # the window must span exactly the gap to the previous VALID
+            # keyframe (a mismatch means a dropped/unmerged link)
+            if p is None or not (
+                    abs(float(p.dT) - gap) < 0.25 * max(gap, 1e-3) + 0.01):
                 preints.append(pre.empty_preintegrated())
                 pair_valid.append(False)
             else:
@@ -387,7 +417,7 @@ class MonoInertialSlam(MonoSlam):
         fixed = jnp.arange(Kw) < n_fixed_prefix
         fixed = fixed | self.m.kf_pose_locked[sl]
         res = inertial_ba.inertial_bundle_adjust(
-            m.kf_pose[sl], jnp.asarray(self.kf_velocity[k0:k_last + 1]),
+            m.kf_pose[sl], jnp.asarray(self.kf_velocity[slots]),
             jnp.tile(jnp.asarray(self.bg), (Kw, 1)),
             jnp.tile(jnp.asarray(self.ba_bias), (Kw, 1)),
             fixed, m.mp_pos[jnp.where(pt_ok, uniq, 0)], obs, stacked,
@@ -395,6 +425,9 @@ class MonoInertialSlam(MonoSlam):
             jnp.asarray(self.T_bc), iters=6,
             gyro_walk2=float(self.calib.gyro_walk2),
             acc_walk2=float(self.calib.acc_walk2))
+        if not bool(jnp.all(jnp.isfinite(res.poses))) or \
+                not bool(jnp.all(jnp.isfinite(res.velocities))):
+            return
         # write back
         kf_pose_ext = jnp.concatenate([m.kf_pose, jnp.zeros((1, 4, 4))], 0)
         kf_pose = kf_pose_ext.at[sl].set(res.poses)[:m.max_kf]
@@ -402,7 +435,7 @@ class MonoInertialSlam(MonoSlam):
         mp_pos = mp_ext.at[jnp.where(pt_ok, uniq, m.max_mp)].set(
             res.points)[:m.max_mp]
         self.m = m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
-        self.kf_velocity[k0:k_last + 1] = np.asarray(res.velocities)
+        self.kf_velocity[slots] = np.asarray(res.velocities)
         self.bg = np.asarray(res.bg[-1])
         self.ba_bias = np.asarray(res.ba[-1])
         self.v_cur = self.kf_velocity[k_last]

@@ -54,26 +54,30 @@ def _triangulate_pair(m: MapState, kf_new, kf_nbr, K: cam.PinholeK,
 
     T_new = m.kf_pose[kf_new]
     T_nbr = m.kf_pose[kf_nbr]
+    # per-KF intrinsics: heterogeneous agents' keyframes carry their own
+    # rectified pinhole (reference per-client camera, ClientHandler.cc:26-66)
+    K_new = ms.kf_intrinsics(m, kf_new, K)
+    K_nbr = ms.kf_intrinsics(m, kf_nbr, K)
     # epipolar gate: essential matrix of the relative pose nbr->new
     T_rel = se3.compose(T_new, se3.inverse(T_nbr))   # nbr-cam -> new-cam
     E = so3.hat(se3.translation(T_rel)) @ se3.rotation(T_rel)
     idx_safe = jnp.where(res.idx >= 0, res.idx, 0)
     uv_new = m.kf_uv[kf_new]
     uv_nbr = m.kf_uv[kf_nbr][idx_safe]
-    b_new = cam.unproject(K, uv_new)
-    b_nbr = cam.unproject(K, uv_nbr)
+    b_new = cam.unproject(K_new, uv_new)
+    b_nbr = cam.unproject(K_nbr, uv_nbr)
     # Sampson error on the unit plane, threshold ~1.5 px
     Eb = b_nbr @ E.T
     Etb = b_new @ E
     num = jnp.sum(b_new * Eb, axis=-1) ** 2
     den = Eb[:, 0] ** 2 + Eb[:, 1] ** 2 + Etb[:, 0] ** 2 + Etb[:, 1] ** 2
-    f = (K.fx + K.fy) * 0.5
+    f = (K_new.fx + K_new.fy) * 0.5
     epi_ok = num / (den + 1e-12) < (1.5 / f) ** 2
 
     N = uv_new.shape[0]
     p, tri_ok = triangulation.triangulate_and_check(
         jnp.broadcast_to(T_new, (N, 4, 4)), jnp.broadcast_to(T_nbr, (N, 4, 4)),
-        b_new, b_nbr, K, uv_new, uv_nbr)
+        b_new, b_nbr, K_new, uv_new, uv_nbr, K2=K_nbr)
     ok = (res.idx >= 0) & epi_ok & tri_ok & enable
     m2, slots = ms.add_mappoints(
         m, p, ok, m.kf_desc[kf_new], kf_new, kf_new,
@@ -152,6 +156,7 @@ def fuse_into_keyframe(m: MapState, kf, K: cam.PinholeK, *,
     - unbound feature -> attach the projected landmark.
     """
     T = m.kf_pose[kf]
+    K = ms.kf_intrinsics(m, kf, K)      # per-KF camera (heterogeneous agents)
     p_c = se3.apply(T[None], m.mp_pos)
     uv_proj = cam.project(K, p_c)
     cam_center = -jnp.einsum("ji,j->i", T[:3, :3], T[:3, 3])
@@ -275,8 +280,12 @@ def local_bundle_adjustment(m: MapState, kf_center, K: cam.PinholeK, *,
 
     poses0 = m.kf_pose[slots]
     points0 = m.mp_pos[jnp.where(pt_ok, pt_global, 0)]
-    res = local_ba.bundle_adjust(poses0, fixed, points0, obs, K, iters=iters,
-                                 bf=bf)
+    # per-observation intrinsics: window keyframes may belong to agents
+    # with different (rectified) cameras
+    K_slots = ms.kf_intrinsics(m, slots, K)
+    K_obs = cam.PinholeK(*(jnp.repeat(f, N) for f in K_slots))
+    res = local_ba.bundle_adjust(poses0, fixed, points0, obs, K_obs,
+                                 iters=iters, bf=bf, grouped=True)
 
     # --- write back (parked scatters go to a padded scratch row so they can
     # never collide with genuine writes) ---

@@ -134,6 +134,7 @@ def guided_projection_count(m: MapState, kf_cur, S: sim3.Sim3,
     S_cur = sim3.from_se3(m.kf_pose[kf_cur])
     S_corr = sim3.compose(S_cur, S)
     T = se3.make(S_corr.R, S_corr.t / S_corr.s)
+    K = ms.kf_intrinsics(m, kf_cur, K)      # current KF's own camera
     p_c = se3.apply(T[None], m.mp_pos)
     uv_proj = cam.project(K, p_c)
     ok = cand_region & m.mp_valid & (p_c[..., 2] > 0.05) & \
@@ -186,10 +187,12 @@ def verify_candidate_cascade(m: MapState, kf_cur: int, kf_cand: int,
     uv_cand, is2_cand, has_cand = _pair_observations(
         m, jnp.int32(kf_cand), jnp.where(pair_ok, lm.cand_mp, -1))
     S_ref, inl_f, inl_b = sim3_solve.optimize_sim3_reprojection(
-        res.S, K, m.kf_pose[jnp.int32(kf_cur)],
+        res.S, ms.kf_intrinsics(m, jnp.int32(kf_cur), K),
+        m.kf_pose[jnp.int32(kf_cur)],
         m.kf_pose[jnp.int32(kf_cand)], p_cand, uv_cur, has_cur,
         p_cur, uv_cand, has_cand, is2_cur, is2_cand,
-        fix_scale=fix_scale)
+        fix_scale=fix_scale,
+        K_cand=ms.kf_intrinsics(m, jnp.int32(kf_cand), K))
     # fall back to the 3D-3D estimate when too few pairs have 2D obs
     n_2d = int(jnp.sum(has_cur | has_cand))
     S_final = S_ref if n_2d >= 10 else res.S
@@ -252,10 +255,10 @@ def weld_after_merge(m: MapState, kf_cur: int, K: cam.PinholeK, *,
 
 
 @functools.partial(jax.jit, static_argnames=("max_covis_edges", "iters",
-                                             "fix_scale"))
+                                             "fix_scale", "yaw_only"))
 def correct_loop(m: MapState, kf_cur, kf_cand, S_loop: sim3.Sim3,
                  max_covis_edges: int = 256, iters: int = 10,
-                 fix_scale: bool = False,
+                 fix_scale: bool = False, yaw_only: bool = False,
                  covis_strong: int = 30) -> MapState:
     """Essential-graph correction. S_loop: p_cur ~ S_loop(p_cand) — the
     accumulated drift of the current region relative to the loop region.
@@ -263,6 +266,11 @@ def correct_loop(m: MapState, kf_cur, kf_cand, S_loop: sim3.Sim3,
     Pose-graph nodes are world-to-camera Sim3s; the loop edge pins the
     corrected current KF at S_cur_corr = S_cur o S_loop (the camera sees
     the same pixels after the world is pulled back through S_loop^-1).
+
+    yaw_only selects the reference's 4-DoF inertial essential graph
+    (Optimizer::OptimizeEssentialGraph4DoF, Optimizer.cc:8430, invoked for
+    inertial maps at LoopClosing.cc:1264-1273): a gravity-aligned map must
+    only float yaw + translation, else the correction tilts the gauge.
     """
     K = m.max_kf
     S_nodes = sim3.stack(sim3.from_se3(m.kf_pose))            # (K, 13)
@@ -304,7 +312,8 @@ def correct_loop(m: MapState, kf_cur, kf_cand, S_loop: sim3.Sim3,
     fixed = ~m.kf_valid
     fixed = fixed.at[kf_cand].set(True)   # loop region anchors the gauge
     S_opt = pose_graph.optimize_pose_graph(S_nodes, fixed, edges,
-                                           iters=iters, fix_scale=fix_scale)
+                                           iters=iters, fix_scale=fix_scale,
+                                           yaw_only=yaw_only)
 
     # --- write corrected keyframe poses (scale folded into translation) ---
     S_new = sim3.unstack(S_opt)
@@ -342,7 +351,7 @@ class LoopCloser:
         self.loops_closed = 0
 
     def on_keyframe(self, m: MapState, kf: int,
-                    fix_scale: bool = False,
+                    fix_scale: bool = False, yaw_only: bool = False,
                     K: Optional[cam.PinholeK] = None,
                     width: int = 0, height: int = 0,
                     scale_factor: float = 1.2, n_levels: int = 8,
@@ -422,10 +431,10 @@ class LoopCloser:
                 # residual error is distributed by the pose graph below
                 # with an identity loop constraint (maps already aligned)
                 m = correct_loop(m, kf_j, cand_j, sim3.identity(),
-                                 fix_scale=fix_scale)
+                                 fix_scale=fix_scale, yaw_only=yaw_only)
             else:
                 m = correct_loop(m, kf_j, cand_j, S_corr,
-                                 fix_scale=fix_scale)
+                                 fix_scale=fix_scale, yaw_only=yaw_only)
             # fuse duplicate landmarks along the verified correspondences
             cur = jnp.where(lm.valid & inliers, lm.cur_mp, -1)
             cand = jnp.where(lm.valid & inliers, lm.cand_mp, -1)

@@ -69,6 +69,7 @@ class StereoSlam(MonoSlam):
     # ------------------------------------------------------------------
     def _process_with_depth(self, feats: FrameFeatures,
                             timestamp: float) -> TrackState:
+        timestamp = self._rel_ts(timestamp)
         self.frame_id += 1
         self._adopt_pending()
         if self.state == TrackState.NOT_INITIALIZED:
@@ -90,7 +91,8 @@ class StereoSlam(MonoSlam):
         n = feats.n
         no = jnp.full((n,), ms.NO_MP, jnp.int32)
         self.m, k0 = ms.add_keyframe(self.m, feats, jnp.eye(4), ts, no, -1,
-                                     self.agent, u_r=sd.u_right)
+                                     self.agent, u_r=sd.u_right,
+                                     cam4=self._cam4)
         # back-project with depth
         K = self.K
         bearing = cam.unproject(K, feats.uv_und)

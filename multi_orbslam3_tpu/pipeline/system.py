@@ -44,6 +44,11 @@ class MonoSlam:
         self.cfg = config
         self.agent = agent_id
         self.K = cam.intrinsics_from_config(config.camera)
+        # this agent's (rectified) pinhole row for per-KF intrinsics —
+        # heterogeneous collaboration ships it with every keyframe
+        self._cam4 = jnp.asarray([config.camera.fx, config.camera.fy,
+                                  config.camera.cx, config.camera.cy],
+                                 jnp.float32)
         self.m = ms.empty_map(config.map.max_keyframes, config.map.max_mappoints,
                               config.orb.n_features)
         # loop closing runs in standalone mode; collaborative clients turn it
@@ -70,6 +75,11 @@ class MonoSlam:
             self.reloc_db = dbm.KeyframeDatabase.empty(
                 config.map.max_keyframes, voc.n_words)
         self.state = TrackState.NOT_INITIALIZED
+        # localization-only: track against a frozen map, never mutate it
+        # (reference ClientSystem::ActivateLocalizationMode,
+        # src/ClientSystem.cc:146-157 — LocalMapping paused, tracking
+        # VO-only)
+        self.localization_only = False
         self.T_cur = np.eye(4, dtype=np.float32)
         self.T_vel = np.eye(4, dtype=np.float32)
         # deferred mapping (tracking || mapping overlap, SURVEY §2.9 axis
@@ -86,13 +96,41 @@ class MonoSlam:
         self._init_feats: Optional[FrameFeatures] = None
         self._init_ts = 0.0
         self._rng_key = jnp.asarray(np.array([0, agent_id + 7], np.uint32))
-        # per-frame trajectory log: (timestamp, T_cw 4x4)
+        # timestamp gauge: dataset clocks can be epoch-scale (EuRoC is
+        # ~1.4e9 s) where float32 — the on-device kf_timestamp dtype —
+        # has 128 s spacing. All internal time is SEQUENCE-RELATIVE
+        # float (origin = first frame); exports re-add the origin.
+        self.ts_origin: Optional[float] = None
+        # per-frame trajectory log: (relative timestamp, T_cw 4x4)
         self.trajectory: List[Tuple[float, np.ndarray]] = []
         self.stats = {"kf_inserted": 0, "mp_created": 0, "frames_tracked": 0,
                       "frames_lost": 0}
 
     # ------------------------------------------------------------------
+    def _rel_ts(self, timestamp: float) -> float:
+        """Sequence-relative time (origin fixed at the first frame seen).
+        Double-precision on the host; small enough for float32 on device."""
+        if self.ts_origin is None:
+            self.ts_origin = float(timestamp)
+        return float(timestamp) - self.ts_origin
+
     def process_frame(self, img: np.ndarray, timestamp: float) -> TrackState:
+        return self._process_frame(img, self._rel_ts(timestamp))
+
+    def to_device(self, img) -> jnp.ndarray:
+        """Start the async host->device transfer of a frame (uint8 wire
+        format — the tunnel moves 1 byte/px instead of 4). Callers that
+        know the next frame can prefetch it while the current one
+        computes; process_frame accepts the returned device array."""
+        if isinstance(img, jnp.ndarray):
+            return img
+        a = np.asarray(img)
+        if a.dtype != np.uint8:
+            a = np.clip(np.round(a), 0.0, 255.0).astype(np.uint8)
+        return jnp.asarray(a)
+
+    def _process_frame(self, img, timestamp: float) -> TrackState:
+        img = self.to_device(img)
         self.frame_id += 1
         # dataset-change detection: a >4 s timestamp jump starts a new
         # sub-map (reference ClientNode ChangeDataset, ros/src/
@@ -109,10 +147,11 @@ class MonoSlam:
             # fused extract+track: one compiled program per frame
             self._pre_track(timestamp)
             T_pred = (self.T_vel @ self.T_cur).astype(np.float32)
-            feats, res = tracking.extract_and_track(
-                self.m, jnp.asarray(img, jnp.float32), jnp.asarray(T_pred),
-                self.cfg)
+            feats, res, m_stats = tracking.extract_and_track(
+                self.m, img, jnp.asarray(T_pred), self.cfg)
+            self._m_stats = m_stats
             self._track_decide(feats, res, T_pred, timestamp)
+            self._m_stats = None
             self._post_track(timestamp)
         self.trajectory.append((timestamp, np.asarray(self.T_cur)))
         return self.state
@@ -164,9 +203,11 @@ class MonoSlam:
         n = self.cfg.orb.n_features
         no_assoc = jnp.full((n,), ms.NO_MP, jnp.int32)
         self.m, k0 = ms.add_keyframe(self.m, f0, jnp.eye(4), self._init_ts,
-                                     no_assoc, -1, self.agent)
+                                     no_assoc, -1, self.agent,
+                                     cam4=self._cam4)
         self.m, k1 = ms.add_keyframe(self.m, feats, jnp.asarray(T1), ts,
-                                     no_assoc, k0, self.agent)
+                                     no_assoc, k0, self.agent,
+                                     cam4=self._cam4)
         self.m, slots = ms.add_mappoints(
             self.m, pts_s, init.point_ok & (res.idx >= 0), f0.desc,
             k0, k0, jnp.arange(n, dtype=jnp.int32), k1, idx_safe,
@@ -261,7 +302,13 @@ class MonoSlam:
                 self._tracked_at_kf = max(
                     getattr(self, "_tracked_at_kf", 0), n_in)
             # landmark statistics (MapPoint::IncreaseFound/IncreaseVisible)
-            self.m = ms.update_found_visible(self.m, res.feat_mp, res.visible)
+            # — already folded into the fused step when it ran
+            m_stats = getattr(self, "_m_stats", None)
+            if m_stats is not None:
+                self.m = m_stats
+            else:
+                self.m = ms.update_found_visible(self.m, res.feat_mp,
+                                                 res.visible)
             if self._need_keyframe(n_in):
                 self._insert_keyframe(feats, res.feat_mp, ts)
                 self._tracked_at_kf = n_in
@@ -274,10 +321,11 @@ class MonoSlam:
             self.state = (TrackState.RECENTLY_LOST
                           if self.lost_count < c.tracking.relost_timeout
                           else TrackState.LOST)
-            if self.state == TrackState.LOST:
+            if self.state == TrackState.LOST and not self.localization_only:
                 # Atlas ladder (Tracking.cc:2007-2027): a mature map is
                 # kept and a fresh sub-map starts; an immature one is
-                # discarded and rebuilt in place
+                # discarded and rebuilt in place. Localization-only mode
+                # never mutates the map: it keeps relocalizing instead.
                 n_active = int(jnp.sum(
                     self.m.kf_valid
                     & (self.m.kf_map_id == self.m.active_map)))
@@ -374,6 +422,28 @@ class MonoSlam:
         return res
 
     # ------------------------------------------------------------------
+    def activate_localization_mode(self, checkpoint_path: str = None) -> None:
+        """Switch to localization-only tracking (reference
+        ActivateLocalizationMode): optionally load a frozen map from a
+        checkpoint, rebuild the relocalization BoW database over its
+        keyframes, and start in LOST so the first frames relocalize."""
+        if checkpoint_path is not None:
+            from multi_orbslam3_tpu.dataio import checkpoint as ckpt
+            self.m, _ = ckpt.load_map(checkpoint_path)
+        self.localization_only = True
+        # rebuild the reloc database from the (loaded) map
+        n = int(self.m.n_kf)
+        valid = np.asarray(self.m.kf_valid[:n])
+        for k in range(n):
+            if valid[k]:
+                self.add_to_reloc_db(self.m, k)
+        self.state = TrackState.LOST
+        self.lost_count = 10**6      # relocalize immediately
+        self._init_feats = None
+
+    def deactivate_localization_mode(self) -> None:
+        self.localization_only = False
+
     def _need_keyframe(self, n_inliers: int) -> bool:
         """Keyframe decision (reference Tracking::NeedNewKeyFrame,
         src/Tracking.cc:2813-2950): insert when tracking strength decays
@@ -383,6 +453,8 @@ class MonoSlam:
         insertion (not the reference KF's total association count) keeps
         the cadence at the reference's 1-5 Hz instead of every frame."""
         c = self.cfg.tracking
+        if self.localization_only:
+            return False
         if self.frames_since_kf < max(1, c.kf_min_interval):
             return False
         if self.frames_since_kf >= c.kf_max_interval:
@@ -394,7 +466,7 @@ class MonoSlam:
                          ts: float) -> None:
         m, k_new = ms.add_keyframe(self.m, feats, jnp.asarray(self.T_cur), ts,
                                    feat_mp, self.ref_kf, self.agent,
-                                   u_r=self._frame_ur())
+                                   u_r=self._frame_ur(), cam4=self._cam4)
         k = int(k_new)
         if k < 0:   # capacity reached
             return
@@ -461,13 +533,21 @@ class MonoSlam:
             self.add_to_reloc_db(self.m, k)
 
     # ------------------------------------------------------------------
+    def _yaw_only(self) -> bool:
+        """Hook: 4-DoF (yaw+translation) essential-graph corrections for
+        gravity-aligned maps (inertial systems override once the IMU is
+        initialized — reference OptimizeEssentialGraph4DoF selection,
+        LoopClosing.cc:1264-1273)."""
+        return False
+
     def _loop_close(self, k: int):
         """Run the loop-closing verification cascade on keyframe k with
         full camera context (N-best candidates, reprojection Sim3, guided
         projection, welding BA)."""
         c = self.cfg
         return self.loop_closer.on_keyframe(
-            self.m, k, fix_scale=self._bf() > 0.0, K=self.K,
+            self.m, k, fix_scale=self._bf() > 0.0 or self._yaw_only(),
+            yaw_only=self._yaw_only(), K=self.K,
             width=c.camera.width, height=c.camera.height,
             scale_factor=c.orb.scale_factor, n_levels=c.orb.n_levels,
             min_proj_matches=c.loop.min_proj_matches)
@@ -489,7 +569,8 @@ class MonoSlam:
             biggest = int(ids[np.argmax(counts)])
         else:
             biggest = 0
+        origin = self.ts_origin or 0.0
         for i in range(n):
             if valid[i] and map_id[i] == biggest:
-                out.append((float(ts[i]), poses[i]))
+                out.append((float(ts[i]) + origin, poses[i]))
         return out

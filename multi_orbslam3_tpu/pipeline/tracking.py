@@ -149,6 +149,7 @@ def track_frame(m: MapState, feats: FrameFeatures, T_pred: jnp.ndarray,
 def _fused_step(config):
     """Build (and cache) the fused extract+track program for a config."""
     from multi_orbslam3_tpu.frontend import extractor as _ex
+    from multi_orbslam3_tpu.map import mapstate as _ms
 
     c = config
 
@@ -160,16 +161,25 @@ def _fused_step(config):
             m, feats, T_pred, K, width=c.camera.width, height=c.camera.height,
             scale_factor=c.orb.scale_factor, n_levels=c.orb.n_levels,
             radius_coarse=c.tracking.search_radius)
-        return feats, res
+        # landmark found/visible statistics folded into the same program
+        # (MapPoint::IncreaseFound/IncreaseVisible) — applied only when
+        # the track looks healthy, like the host decision would
+        m2 = _ms.update_found_visible(m, res.feat_mp, res.visible)
+        ok = res.n_inliers >= c.tracking.min_matches_refkf
+        m2 = m._replace(
+            mp_found=jnp.where(ok, m2.mp_found, m.mp_found),
+            mp_visible=jnp.where(ok, m2.mp_visible, m.mp_visible))
+        return feats, res, m2
 
     return step
 
 
 def extract_and_track(m: MapState, img: jnp.ndarray, T_pred: jnp.ndarray,
                       config) -> tuple:
-    """Fused per-frame step: ORB extraction + two-round guided tracking in
-    ONE compiled program — no host roundtrip between the stages (the
-    host-side state machine only consumes the scalar outputs)."""
+    """Fused per-frame step: ORB extraction + two-round guided tracking +
+    landmark statistics refresh in ONE compiled program — no host
+    roundtrip between the stages (the host-side state machine only
+    consumes the scalar outputs). Returns (feats, result, updated map)."""
     return _fused_step(config)(m, img, T_pred)
 
 

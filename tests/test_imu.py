@@ -103,6 +103,43 @@ class TestPreintegration:
         np.testing.assert_allclose(np.asarray(v2), 0.0, atol=1e-4)
         np.testing.assert_allclose(np.asarray(p2), 0.0, atol=1e-4)
 
+    def test_merge_mixed_bias_windows(self):
+        """ADVICE r2: merging windows integrated at DIFFERENT biases (the
+        client's bias evolves per frame after IMU init) must yield a
+        window consistent with the stored (p1) bias — evaluating the
+        merged factor at p2's integration bias should match composing the
+        two windows each evaluated at that same bias."""
+        rng = np.random.RandomState(11)
+        S = 24
+        acc = (rng.randn(S, 3) * 0.4 + [0, 0, 9.81]).astype(np.float32)
+        gyro = (rng.randn(S, 3) * 0.1).astype(np.float32)
+        dt = np.full(S, 0.005, np.float32)
+        bg1 = jnp.asarray([0.002, -0.001, 0.003])
+        ba1 = jnp.asarray([0.01, 0.02, -0.015])
+        bg2 = bg1 + 0.004
+        ba2 = ba1 - 0.03
+        h1 = pre.preintegrate(jnp.asarray(acc[:12]), jnp.asarray(gyro[:12]),
+                              jnp.asarray(dt[:12]), bg1, ba1, calib())
+        h2 = pre.preintegrate(jnp.asarray(acc[12:]), jnp.asarray(gyro[12:]),
+                              jnp.asarray(dt[12:]), bg2, ba2, calib())
+        merged = pre.merge_preintegrated(h1, h2)
+        assert np.allclose(np.asarray(merged.bg), np.asarray(bg1))
+        # ground truth: both windows integrated directly at a query bias
+        bq_g = bg1 + 0.002
+        bq_a = ba1 + 0.01
+        g1 = pre.preintegrate(jnp.asarray(acc[:12]), jnp.asarray(gyro[:12]),
+                              jnp.asarray(dt[:12]), bq_g, bq_a, calib())
+        g2 = pre.preintegrate(jnp.asarray(acc[12:]), jnp.asarray(gyro[12:]),
+                              jnp.asarray(dt[12:]), bq_g, bq_a, calib())
+        gold = pre.merge_preintegrated(g1, g2)
+        dR, dV, dP = pre.bias_corrected_delta(merged, bq_g, bq_a)
+        np.testing.assert_allclose(np.asarray(dR), np.asarray(gold.dR),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dV), np.asarray(gold.dV),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dP), np.asarray(gold.dP),
+                                   atol=2e-3)
+
     def test_merge_matches_full_integration(self):
         rng = np.random.RandomState(3)
         S = 24

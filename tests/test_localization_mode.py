@@ -1,0 +1,61 @@
+"""Localization-only mode: track against a frozen, checkpointed map
+without mutating it (reference ClientSystem::ActivateLocalizationMode,
+src/ClientSystem.cc:146-157,214 — LocalMapping paused, VO-only)."""
+
+import numpy as np
+import pytest
+
+from multi_orbslam3_tpu import config as cfg
+from multi_orbslam3_tpu.dataio import checkpoint, synthetic
+from multi_orbslam3_tpu.eval import ate
+from multi_orbslam3_tpu.pipeline.system import MonoSlam, TrackState
+
+
+def _config():
+    return cfg.synthetic_mono(width=320, height=240).replace(
+        orb=cfg.ORBConfig(n_features=256, n_levels=4),
+        map=cfg.MapConfig(max_keyframes=64, max_mappoints=2048,
+                          max_obs=16384, max_obs_per_kf=256),
+        local_mapping=cfg.LocalMappingConfig(
+            local_ba_kfs=8, local_ba_fixed_kfs=4, local_ba_points=1024,
+            local_ba_iters=8))
+
+
+@pytest.mark.slow
+def test_localizes_against_frozen_map(tmp_path):
+    c = _config()
+    F = 40
+    seq = synthetic.make_sequence(c, n_frames=F, n_points=600, seed=21,
+                                  trajectory="forward")
+    # pass 1: build and save the map
+    mapper = MonoSlam(c, enable_loop_closing=False)
+    for i in range(F):
+        mapper.process_frame(seq.images[i], float(seq.timestamps[i]))
+    mapper._adopt_pending(force=True)
+    path = str(tmp_path / "map.npz")
+    checkpoint.save_map(path, mapper.m)
+
+    # pass 2: a FRESH system localizes against the frozen map
+    loc = MonoSlam(c, enable_loop_closing=False)
+    loc.activate_localization_mode(path)
+    n_kf0 = int(loc.m.n_kf)
+    n_mp0 = int(loc.m.n_mp)
+    states = []
+    # replay a subsequence (starting mid-way: relocalization, not identity)
+    for i in range(10, F):
+        states.append(loc.process_frame(seq.images[i],
+                                        float(seq.timestamps[i])))
+    ok = [j for j, s in enumerate(states) if s == TrackState.OK]
+    assert len(ok) > (F - 10) * 0.6, (len(ok), [s.name for s in states])
+    assert loc.stats.get("relocalizations", 0) >= 1
+    # the frozen map was NEVER mutated: no keyframes, no landmarks added
+    assert int(loc.m.n_kf) == n_kf0
+    assert int(loc.m.n_mp) == n_mp0
+    assert loc.stats["kf_inserted"] == 0
+    # localized poses are accurate vs ground truth
+    est = np.stack([loc.trajectory[j][1] for j in ok])
+    gt = seq.T_cw[np.asarray(ok) + 10]
+    g = ate.camera_centers(gt)
+    span = float(np.linalg.norm(g.max(0) - g.min(0)))
+    rmse = ate.ate_rmse(ate.camera_centers(est), g)
+    assert rmse < 0.1 * max(span, 1.0), (rmse, span)

@@ -94,6 +94,27 @@ class TestBundleAdjust:
         fixed = jnp.zeros(n_kf, bool).at[0].set(True)
         return poses_true, pts_true, poses0, pts0, fixed, obs
 
+    def test_grouped_assembly_matches_scatter(self):
+        """grouped=True (one-hot matmul assembly, the TPU fast path) must
+        reproduce the scatter-path results bit-for-bit-ish on a grouped
+        observation layout."""
+        _, _, poses0, pts0, fixed, obs = self._window(seed=4)
+        a = local_ba.bundle_adjust(poses0, fixed, pts0, obs, K, iters=8)
+        b = local_ba.bundle_adjust(poses0, fixed, pts0, obs, K, iters=8,
+                                   grouped=True)
+        np.testing.assert_allclose(np.asarray(a.poses), np.asarray(b.poses),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a.points),
+                                   np.asarray(b.points), atol=1e-3)
+
+    def test_inv3x3_matches_linalg(self):
+        rng = np.random.RandomState(0)
+        A = rng.randn(64, 3, 3).astype(np.float32)
+        A = A @ A.transpose(0, 2, 1) + 0.5 * np.eye(3)   # SPD
+        np.testing.assert_allclose(
+            np.asarray(local_ba.inv3x3(jnp.asarray(A))),
+            np.linalg.inv(A), rtol=2e-3, atol=2e-4)
+
     def test_converges(self):
         poses_true, pts_true, poses0, pts0, fixed, obs = self._window()
         res = local_ba.bundle_adjust(poses0, fixed, pts0, obs, K, iters=15)

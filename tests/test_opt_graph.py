@@ -72,6 +72,35 @@ class TestPoseGraph:
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(est[0]),
                                    atol=1e-6)
 
+    def test_yaw_only_preserves_gravity_column(self):
+        """4-DoF mode (reference OptimizeEssentialGraph4DoF,
+        Optimizer.cc:8430): a gravity-aligned map corrected with
+        yaw_only=True must keep every node's world-z (gravity) column
+        invariant — R_new @ z == R_old @ z — and the scale pinned, while
+        still reducing the loop error."""
+        gt, est, edges = self._chain(n=8, drift=0.04, seed=3)
+        fixed = jnp.zeros(8, bool).at[0].set(True)
+        out = pose_graph.optimize_pose_graph(
+            est, fixed, edges, iters=12, fix_scale=True, yaw_only=True)
+        S_old = sim3.unstack(est)
+        S_new = sim3.unstack(out)
+        z_old = np.asarray(S_old.R)[:, :, 2]        # R_cw @ e_z columns
+        z_new = np.asarray(S_new.R)[:, :, 2]
+        np.testing.assert_allclose(z_new, z_old, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(S_new.s),
+                                   np.asarray(S_old.s), atol=1e-5)
+        # and the optimization still did useful work on the loop residual
+        def loop_err(S_flat):
+            S = sim3.unstack(S_flat)
+            i, j = 7, 0
+            Si = sim3.Sim3(S.R[i], S.t[i], S.s[i])
+            Sj = sim3.Sim3(S.R[j], S.t[j], S.s[j])
+            rel = sim3.compose(Si, sim3.inverse(Sj))
+            meas = sim3.unstack(edges.S_ij[-1])
+            return float(jnp.linalg.norm(
+                sim3.log(sim3.compose(meas, sim3.inverse(rel)))))
+        assert loop_err(out) < loop_err(est) * 0.7
+
     def test_consistent_graph_stays(self):
         gt, _, _ = self._chain(drift=0.0)
         # edges measured from GT, estimates = GT: nothing should move
