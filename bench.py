@@ -43,12 +43,20 @@ def main() -> None:
     log("bench: mono_inertial (EuRoC T_bc)...")
     configs["mono_inertial"] = B.bench_mono_inertial()
     log(f"  -> {configs['mono_inertial']}")
-    log("bench: collab 2-agent...")
+    log("bench: collab 2-agent (150 frames, GBA on)...")
     configs["collab_2agent"], server = B.bench_collab(n_agents=2)
     log(f"  -> {configs['collab_2agent']}")
-    log("bench: global BA iters/s...")
+    log("bench: collab 4-agent (BASELINE config #5)...")
+    configs["collab_4agent"], server4 = B.bench_collab(
+        n_agents=4, n_frames=100, warmup=False)
+    log(f"  -> {configs['collab_4agent']}")
+    log("bench: global BA iters/s (on the 2-agent arena)...")
     gba = B.bench_gba(server)
     log(f"  -> {gba}")
+    log("bench: global BA iters/s (on the 4-agent arena)...")
+    gba4 = B.bench_gba(server4)
+    gba["arena_4agent"] = gba4
+    log(f"  -> {gba4}")
     log("bench: frontend kernel micro-bench (pallas vs XLA)...")
     kernels = B.bench_kernels()
     log(f"  -> {kernels}")

@@ -219,9 +219,19 @@ class CollabClient:
             if moved.any():
                 ids = np.nonzero(moved)[0].astype(np.int32)
                 ids = ids[:comm.client_kf_bound]
+                # re-ship the CURRENT association rows: fuse keeps
+                # attaching landmarks to already-sent keyframes and the
+                # server's observation counts must follow (KFred.msg MP
+                # triplets; without this the server culls landmarks it
+                # believes under-observed)
+                rows = np.array(m.kf_mp)[ids]
+                rows = np.where(
+                    (rows >= 0) & self._is_foreign_mp[np.maximum(rows, 0)],
+                    -1, rows)
                 kf_updates = protocol.KFUpdatePayload(
                     agent=self.agent, local_id=ids, T_abs=cur[ids],
-                    locked=np.zeros(len(ids), bool))
+                    locked=np.zeros(len(ids), bool),
+                    mp_local=rows.astype(np.int32))
                 self._sent_kf_pose[ids] = cur[ids]
         if self._sent_mp > 0:
             curp = np.array(m.mp_pos[:self._sent_mp])

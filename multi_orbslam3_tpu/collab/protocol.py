@@ -61,11 +61,17 @@ class KFPayload:
 
 @dataclasses.dataclass
 class KFUpdatePayload:
-    """Pose-only updates (KFred.msg analog)."""
+    """Pose updates (KFred.msg analog). Client->server updates may carry
+    the keyframe's CURRENT landmark-association row (KFred.msg ships MP
+    association triplets the same way): the client's local mapping keeps
+    attaching landmarks to older keyframes (fuse), and without re-shipping
+    those rows the server's observation counts stagnate at creation level
+    and its culling starves the arena."""
     agent: int
     local_id: np.ndarray        # (B,)
     T_abs: np.ndarray           # (B, 4, 4)
     locked: np.ndarray          # (B,) bool — mbPoseLock
+    mp_local: Optional[np.ndarray] = None   # (B, N) sender-local mp ids
 
 
 @dataclasses.dataclass

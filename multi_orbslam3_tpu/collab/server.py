@@ -26,6 +26,7 @@ state (SURVEY.md §7):
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -496,13 +497,26 @@ class CollabServer:
     def _ingest_kf_updates(self, agent: int, ku: protocol.KFUpdatePayload):
         book = self.agents[agent]
         ids, poses = [], []
+        locked = np.array(self.m.kf_pose_locked)
         for b, lid in enumerate(ku.local_id):
             if int(lid) in book.erased_kf_tomb:
                 continue
             slot = book.kf_l2s.get(int(lid))
-            if slot is not None and not bool(self.m.kf_pose_locked[slot]):
+            if slot is None:
+                continue
+            if not bool(locked[slot]):
                 ids.append(slot)
                 poses.append(ku.T_abs[b])
+            # association refresh (KFred.msg MP triplets): keeps the
+            # server's observation counts in step with client-side fusion
+            # so culling sees the true support of each landmark
+            if ku.mp_local is not None:
+                row = np.asarray(ku.mp_local[b])
+                feats_idx = np.nonzero(row >= 0)[0].astype(np.int32)
+                if len(feats_idx):
+                    self._pending_assoc.append(
+                        (agent, int(slot), feats_idx,
+                         row[feats_idx].astype(np.int32)))
         if ids:
             self.m = self.m._replace(kf_pose=self.m.kf_pose.at[
                 jnp.asarray(ids, jnp.int32)].set(
@@ -560,7 +574,9 @@ class CollabServer:
         upd_kf, upd_f, upd_mp = [], [], []
         lut_cache: Dict[int, np.ndarray] = {}
         cap = self.cfg.map.max_mappoints
-        for agent, kf_slot, feats_idx, mp_local in self._pending_assoc:
+        for entry in self._pending_assoc:
+            agent, kf_slot, feats_idx, mp_local = entry[:4]
+            tries = entry[4] if len(entry) > 4 else 0
             lut = lut_cache.get(agent)
             if lut is None:
                 l2s = self.agents[agent].mp_l2s
@@ -573,9 +589,12 @@ class CollabServer:
                 lut_cache[agent] = lut
             slots = lut[np.minimum(mp_local, cap - 1)]
             found = slots >= 0
-            if (~found).any():
+            # unresolved refs retry for a bounded number of cycles — a
+            # landmark the client culled before its row ever shipped
+            # would otherwise pin its tuple in the queue forever
+            if (~found).any() and tries < 32:
                 still.append((agent, kf_slot, feats_idx[~found],
-                              mp_local[~found]))
+                              mp_local[~found], tries + 1))
             if found.any():
                 upd_kf.append(np.full(int(found.sum()), kf_slot, np.int32))
                 upd_f.append(feats_idx[found])
@@ -843,6 +862,7 @@ class CollabServer:
         more than one device (or distributed=True) the observation list
         shards across the mesh and every Schur reduction rides a psum
         (BASELINE.json's distributed Schur-complement criterion)."""
+        _t_gba0 = time.perf_counter()
         m = self.m
         Kc, N = m.kf_mp.shape
         obs_kf = jnp.repeat(jnp.arange(Kc, dtype=jnp.int32), N)
@@ -886,7 +906,11 @@ class CollabServer:
                 m.kf_pose, jnp.asarray(fixed), m.mp_pos, m.mp_valid, obs,
                 K_obs, iters=iters, cg_iters=cg_iters)
         self.m = m._replace(kf_pose=res.poses, mp_pos=res.points)
+        jax.block_until_ready(self.m.kf_pose)
         self.stats["gba_runs"] += 1
+        self.stats["gba_wall_s"] = round(
+            self.stats.get("gba_wall_s", 0.0)
+            + (time.perf_counter() - _t_gba0), 3)
         # inertial maps: FullInertialBA analog over the uplinked
         # preintegration chains (reference RunGlobalBundleAdjustment ->
         # Optimizer::FullInertialBA, src/Optimizer.cc:449) — refines the

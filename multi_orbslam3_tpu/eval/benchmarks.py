@@ -164,40 +164,83 @@ def bench_mono_inertial(n_frames: int = 90, seed: int = 7) -> Dict:
     return out
 
 
-def bench_collab(n_agents: int = 2, n_frames: int = 60,
-                 seed: int = 31) -> Dict:
+def bench_collab(n_agents: int = 2, n_frames: int = 150,
+                 seed: int = 31, warmup: bool = True) -> Dict:
+    """Collaborative benchmark (BASELINE.json configs #4-5): every agent
+    orbits the shared world on a circular arc with a phase offset, so the
+    run produces BOTH cross-agent merges (overlapping arcs) and loop
+    closures (arc self-overlap), with the post-event GBA on by default
+    (the reference's LoopClosing.cc:1286-1292 behavior). Reports per-agent
+    ATE over the whole OK trajectory AND the post-correction tail."""
     from multi_orbslam3_tpu.collab.client import CollabClient
     from multi_orbslam3_tpu.collab.server import CollabServer
     from multi_orbslam3_tpu.collab.transport import InProcessTransport
     from multi_orbslam3_tpu.dataio import synthetic
     from multi_orbslam3_tpu.pipeline.system import TrackState
     c = cfg.synthetic_mono()
-    seqs = [synthetic.make_sequence(c, n_frames=n_frames, n_points=800,
-                                    seed=seed, trajectory="forward",
-                                    phase=0.35 * a)
+    # start phases >= 1.1 rad: the orbit's [0, 1.1) arc has poor landmark
+    # visibility for INITIALIZATION (standalone sweep: 45/150 frames OK
+    # from phase 0.55 vs 148/150 from 1.1+); established maps traverse it
+    # fine later in the arc
+    seqs = [synthetic.make_sequence(c, n_frames=n_frames, n_points=1200,
+                                    seed=seed, trajectory="circle",
+                                    phase=1.1 + 0.55 * a)
             for a in range(n_agents)]
-    for timed in (False, True):
+    passes = (False, True) if warmup else (True,)
+    for timed in passes:
         tr = InProcessTransport()
         clients = [CollabClient(c, a, tr) for a in range(n_agents)]
         server = CollabServer(c, tr, n_agents=n_agents)
         states = [[] for _ in range(n_agents)]
+        first_corr = [None] * n_agents
         t0 = time.perf_counter()
         for i in range(n_frames):
             for a, cl in enumerate(clients):
                 states[a].append(cl.process_frame(
                     seqs[a].images[i], float(seqs[a].timestamps[i])))
                 cl.comm_cycle()
+                if first_corr[a] is None and \
+                        cl.stats["corrections_applied"] > 0:
+                    first_corr[a] = i
             server.comm_cycle()
         wall = time.perf_counter() - t0
     out = {"agents": n_agents, "frames": n_frames,
            "total_fps": round(n_agents * n_frames / wall, 2),
            "wall_s": round(wall, 2),
            "merges": server.stats["merges"], "loops": server.stats["loops"],
+           "bytes_up_mb": round(tr.bytes_up / 2 ** 20, 1),
+           "bytes_down_mb": round(tr.bytes_down / 2 ** 20, 1),
            "server": dict(server.stats)}
+    # accuracy metric: the FINAL corrected keyframe trajectory from the
+    # server arena per agent (the reference's evaluation — the server's
+    # SaveKeyFrameTrajectoryEuRoC, src/ServerSystem.cc:134-185). The
+    # per-frame live log spans every mid-run gauge re-base (merge, loops,
+    # GBAs) and cannot be aligned as one rigid/similar set.
     ates = []
+    # arena timestamps are sequence-relative (client _rel_ts)
+    ts_all = np.asarray(seqs[0].timestamps)
+    ts_all = ts_all - ts_all[0]
+    kf_valid = np.array(server.m.kf_valid)
+    kf_agent = np.array(server.m.kf_agent)
+    kf_ts = np.array(server.m.kf_timestamp)
+    kf_pose = np.array(server.m.kf_pose)
     for a, cl in enumerate(clients):
-        acc = _ate_over_ok(cl.slam.trajectory, states[a], seqs[a].T_cw)
-        if acc:
+        sel = np.nonzero(kf_valid & (kf_agent == a))[0]
+        acc = None
+        if len(sel) >= 8:
+            # match GT frames by (relative) timestamp
+            fr = np.asarray([int(np.argmin(np.abs(ts_all - t)))
+                             for t in kf_ts[sel]])
+            est = ate.camera_centers(kf_pose[sel])
+            gt = ate.camera_centers(seqs[a].T_cw[fr])
+            span = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+            acc = {"ate_rmse": round(ate.ate_rmse(est, gt), 4),
+                   "span": round(span, 3), "server_kfs": len(sel)}
+        if acc is not None:
+            n_ok = sum(1 for s in states[a] if s == TrackState.OK)
+            acc["frames_ok"] = n_ok
+            if first_corr[a] is not None:
+                acc["first_corr_frame"] = first_corr[a]
             out[f"agent{a}"] = acc
             ates.append(acc["ate_rmse"])
     if ates:

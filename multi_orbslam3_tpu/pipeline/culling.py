@@ -39,7 +39,7 @@ def redundant_keyframes(m: MapState, protect: jnp.ndarray,
 
 @jax.jit
 def orphan_mappoints(m: MapState, min_obs: int = 2,
-                     age_kf: int = 3) -> jnp.ndarray:
+                     age_kf: int = 6) -> jnp.ndarray:
     """(P,) bool mask of landmarks that failed to gain observations — older
     than `age_kf` keyframes but observed by fewer than `min_obs` — or whose
     found/visible ratio fell below 0.25 (both tests from the reference's

@@ -211,6 +211,39 @@ def fuse_into_keyframe(m: MapState, kf, K: cam.PinholeK, *,
                    n_attached=jnp.sum(attach.astype(jnp.int32)))
 
 
+class MapKFOut(NamedTuple):
+    map: MapState
+    n_created: jnp.ndarray
+    n_fused: jnp.ndarray
+    chi2: jnp.ndarray
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_neighbors", "width", "height",
+                                    "scale_factor", "n_levels", "n_window",
+                                    "n_fixed", "n_points", "iters",
+                                    "covis_threshold"))
+def map_keyframe(m: MapState, kf_new, K: cam.PinholeK, *,
+                 n_neighbors: int, width: int, height: int,
+                 scale_factor: float, n_levels: int,
+                 n_window: int, n_fixed: int, n_points: int,
+                 iters: int, covis_threshold: int = 15,
+                 bf=0.0) -> MapKFOut:
+    """The WHOLE per-keyframe mapping chain — triangulate/fuse/stats +
+    windowed BA — as ONE compiled program: one dispatch, one jit-cache
+    lookup per keyframe instead of two ~35-array pytree calls (host
+    dispatch overhead was ~25 ms/KF on the tunneled chip)."""
+    proc = process_new_keyframe(
+        m, kf_new, K, n_neighbors=n_neighbors, width=width, height=height,
+        scale_factor=scale_factor, n_levels=n_levels)
+    out = local_bundle_adjustment(
+        proc.map, kf_new, K, n_window=n_window, n_fixed=n_fixed,
+        n_points=n_points, scale_factor=scale_factor, iters=iters,
+        covis_threshold=covis_threshold, bf=bf)
+    return MapKFOut(map=out.map, n_created=proc.n_created,
+                    n_fused=proc.n_fused, chi2=out.chi2)
+
+
 class LocalBAOut(NamedTuple):
     map: MapState
     chi2: jnp.ndarray

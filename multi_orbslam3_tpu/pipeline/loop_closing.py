@@ -67,8 +67,11 @@ def match_loop_landmarks(m: MapState, kf_cur, kf_cand) -> LoopMatch:
     both = mp_cur & mp_cand
     mp_cur = mp_cur & ~both
     mp_cand = mp_cand & ~both
+    # ratio 0.95: across heterogeneous cameras the descriptor gap widens
+    # and the ratio test starves the RANSAC of seeds; the downstream
+    # Sim3 refinement + guided-projection gate carry the verification
     res = matcher.match_mutual(m.mp_desc, mp_cur, m.mp_desc, mp_cand,
-                               max_dist=matcher.TH_LOW, ratio=0.9)
+                               max_dist=matcher.TH_LOW, ratio=0.95)
     P = m.max_mp
     valid = res.idx >= 0
     return LoopMatch(
@@ -95,9 +98,14 @@ def verify_loop(m: MapState, lm: LoopMatch, key,
     # is large; the post-correction pose graph / welding BA refines
     # (reference runs SearchAndFuse + MergeInertialBA after Sim3 accept)
     th = jnp.maximum(0.1 * spread, 1e-3)
+    # min_inliers is the SEED gate only: acceptance is decided by the
+    # reprojection-space Sim3 refinement + guided-projection count
+    # (min_proj_matches), so a small consistent seed set suffices — the
+    # reference likewise seeds Sim3Solver with few correspondences and
+    # lets SearchByProjection grow them (LoopClosing.cc:580+)
     return sim3_solve.sim3_ransac(p_cand, p_cur, lm.valid, key,
-                                  n_hyp=128, inlier_th=th,
-                                  min_inliers=12, fix_scale=fix_scale)
+                                  n_hyp=192, inlier_th=th,
+                                  min_inliers=8, fix_scale=fix_scale)
 
 
 @jax.jit
@@ -332,6 +340,20 @@ def correct_loop(m: MapState, kf_cur, kf_cand, S_loop: sim3.Sim3,
     return m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
 
 
+@jax.jit
+def _pr_step(db, voc, m: MapState, kf):
+    """Fused per-keyframe place-recognition step: covisibility exclusion +
+    shared-db BoW query + db insert in ONE program (three separate
+    dispatches cost ~10 ms/KF of host overhead on a tunneled chip)."""
+    desc = m.kf_desc[kf]
+    fvalid = m.kf_feat_valid[kf]
+    covis = ms.covisibility_row(m, kf)
+    exclude = (covis > 0) | (jnp.arange(m.max_kf) == kf)
+    scores = dbm.query(db, voc, desc, fvalid, exclude)
+    db2, _ = dbm.add_keyframe_bow(db, voc, kf, desc, fvalid)
+    return scores, db2
+
+
 class LoopCloser:
     """Host-side loop-closing controller (detection bookkeeping +
     correction dispatch). One instance per map."""
@@ -360,16 +382,10 @@ class LoopCloser:
         temporal consistency, full verification cascade, correction +
         welding BA. Returns the (possibly corrected) map."""
         kf_j = jnp.int32(kf)
-        desc = m.kf_desc[kf_j]
-        fvalid = m.kf_feat_valid[kf_j]
-
-        # exclusion: self + covisible neighborhood (reference excludes the
-        # connected group, KeyFrameDatabase::DetectNBestCandidates)
-        covis = ms.covisibility_row(m, kf_j)
-        exclude = (covis > 0) | (jnp.arange(m.max_kf) == kf)
-        scores = dbm.query(self.db, self.voc, desc, fvalid, exclude)
-        self.db, _ = dbm.add_keyframe_bow(self.db, self.voc, kf_j, desc,
-                                          fvalid)
+        # fused: covisibility exclusion + shared-db query + insert
+        # (reference excludes the connected group,
+        # KeyFrameDatabase::DetectNBestCandidates)
+        scores, self.db = _pr_step(self.db, self.voc, m, kf_j)
         scores_np = np.array(scores)
         best = int(np.argmax(scores_np))
         best_score = float(scores_np[best])

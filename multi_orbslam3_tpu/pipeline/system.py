@@ -492,24 +492,21 @@ class MonoSlam:
         consumes LocalMapping output whenever its thread finishes)."""
         if self._pending_map is not None:
             self._adopt_pending(force=True)
-        proc = local_mapping.process_new_keyframe(
-            self.m, jnp.int32(k), self.K,
-            n_neighbors=self.cfg.local_mapping.triangulation_neighbors,
-            width=self.cfg.camera.width, height=self.cfg.camera.height,
-            scale_factor=self.cfg.orb.scale_factor,
-            n_levels=self.cfg.orb.n_levels)
         lm = self.cfg.local_mapping
         n_window = min(lm.local_ba_kfs, self.cfg.map.max_keyframes // 2)
         n_fixed = min(lm.local_ba_fixed_kfs,
                       self.cfg.map.max_keyframes - n_window)
-        out = local_mapping.local_bundle_adjustment(
-            proc.map, jnp.int32(k), self.K, n_window=n_window,
-            n_fixed=n_fixed, n_points=self._ba_points(),
+        out = local_mapping.map_keyframe(
+            self.m, jnp.int32(k), self.K,
+            n_neighbors=self.cfg.local_mapping.triangulation_neighbors,
+            width=self.cfg.camera.width, height=self.cfg.camera.height,
             scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels, n_window=n_window,
+            n_fixed=n_fixed, n_points=self._ba_points(),
             iters=lm.local_ba_iters,
             covis_threshold=self.cfg.map.covis_threshold,
             bf=self._bf())
-        self._pending_map = (out.map, k, proc.n_created, proc.n_fused)
+        self._pending_map = (out.map, k, out.n_created, out.n_fused)
         if not defer:
             self._adopt_pending(force=True)
 

@@ -1,6 +1,9 @@
 """A/B: mono full-system run with uint8 wire frames vs float32, on the
 real chip — isolates whether the uint8 quantization costs tracking
 robustness (frames_lost regression seen in profile_mono)."""
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import time
 import numpy as np
 

@@ -1,6 +1,9 @@
 """Covisibility-row formulations on TPU at arena shape (512 KF x 1024
 feat, 16384 MP): scatter-mask+matvec (r2), bool-gather (r3 draft), f32
 gather, and one-hot matmul."""
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import time
 import numpy as np
 

@@ -3,6 +3,9 @@
 Instruments MonoSlam.process_frame with wall-time buckets to locate the
 host-side latency the round-2 verdict flagged (5.19 fps vs 20 target).
 """
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import time
 import numpy as np
 

@@ -1,6 +1,9 @@
 """Micro-benchmark: the local-BA assembly ops (scatter-add vs one-hot
 matmul) at real shapes (Kw=24 window KFs x N=1024 features, Pw=4096
 landmarks), plus the per-iteration cost split of bundle_adjust."""
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import time
 import numpy as np
 

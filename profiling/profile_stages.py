@@ -1,6 +1,9 @@
 """Isolate steady-state device-program times for each pipeline stage on
 the real chip: fused extract+track, update_found_visible, the mapping
 chain, loop-closer db ops, and raw dispatch round-trip latency."""
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import time
 import numpy as np
 

@@ -20,5 +20,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compilation cache: the suite compiles hundreds of programs;
+# re-using them across runs cuts CI time AND avoids re-entering the LLVM
+# compile paths that intermittently segfault this 2-core host under load
+from multi_orbslam3_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("/tmp/multi_orbslam3_tpu_xla_cache_cpu")
+
 assert jax.default_backend() == "cpu", (
     "tests must run on the virtual CPU mesh, got " + jax.default_backend())
