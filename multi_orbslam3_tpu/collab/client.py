@@ -513,7 +513,7 @@ class CollabClient:
             if new:
                 idx = np.asarray(new)
                 ref = np.full(len(new), self.slam.ref_kf, np.int32)
-                m, slots = ms.add_mappoints_raw(
+                m, slots = ms.add_mappoints_raw_padded(
                     m, jnp.asarray(fm.pos_abs[idx]),
                     jnp.ones(len(new), bool),
                     jnp.asarray(fm.desc[idx]), jnp.asarray(ref),

@@ -481,7 +481,7 @@ class CollabServer:
         if not lids:
             return 0
         nb = len(lids)
-        self.m, slots = ms.add_mappoints_raw(
+        self.m, slots = ms.add_mappoints_raw_padded(
             self.m, jnp.asarray(np.stack(pos_list), jnp.float32),
             jnp.asarray(ok_list), jnp.asarray(np.stack(desc_list)),
             jnp.asarray(ref_list, jnp.int32), agent)
@@ -611,8 +611,24 @@ class CollabServer:
     # ==================================================================
     def _run_place_recognition(self, run_gba: bool = False) -> None:
         queue, self._pr_queue = self._pr_queue, []
+        valid_np = np.array(self.m.kf_valid)
         for agent, kf_slot in queue:
             book = self.agents[agent]
+            # maturity gate (reference NewDetectCommonRegions skips maps
+            # with <12 KFs, src/LoopClosing.cc:270+): a merge between
+            # immature maps fits a Sim3 on a handful of noisy landmarks
+            # and poisons both agents for the rest of the run
+            n_map_cur = int(np.sum(
+                valid_np & (self.kf_map == self.kf_map[kf_slot])))
+            if n_map_cur < self.cfg.loop.min_map_kfs:
+                continue
+            # event interval: require fresh own keyframes since the last
+            # accepted loop/merge before hunting again (the reference's
+            # mnLoopNumCoincidences reset + GBA-idle check)
+            if self.stats["kf_ingested"] - getattr(
+                    book, "last_event_ingest", -10**9) \
+                    < self.cfg.loop.event_interval_kfs:
+                continue
             covis = ms.covisibility_row(self.m, jnp.int32(kf_slot))
             exclude = np.array(covis) > 0
             exclude[kf_slot] = True
@@ -656,6 +672,11 @@ class CollabServer:
                 self.m, scores_np, n_best=self.cfg.loop.n_candidates)
             accepted = False
             for cand_kf, _, _ in cands:
+                # candidate-side maturity (same reference gate)
+                if int(np.sum(valid_np
+                              & (self.kf_map == self.kf_map[cand_kf]))) \
+                        < self.cfg.loop.min_map_kfs:
+                    continue
                 self._key, sub = jax.random.split(self._key)
                 casc = loop_closing.verify_candidate_cascade(
                     self.m, kf_slot, cand_kf, sub, self.K,
@@ -738,23 +759,31 @@ class CollabServer:
                 cur = jnp.where(lm.valid & inliers, lm.cur_mp, -1)
                 cand = jnp.where(lm.valid & inliers, lm.cand_mp, -1)
                 self.m = ms.replace_mappoint(self.m, cur, cand)
-                # welding BA over the seam (MergeInertialBA /
-                # MergeBundleAdjustmentVisual analog, LoopClosing.cc:2391)
-                self.m = loop_closing.weld_after_merge(
-                    self.m, kf_slot, self.K,
-                    width=self.cfg.camera.width,
-                    height=self.cfg.camera.height,
-                    scale_factor=self.cfg.orb.scale_factor,
-                    n_levels=self.cfg.orb.n_levels)
+                # welding BA over BOTH sides of the seam (the reference's
+                # SearchAndFuse projects each side's landmarks into the
+                # OTHER side's covisible keyframes, LoopClosing.cc:
+                # 2477,2517 — one-sided welding left the moved map's arc
+                # only loosely attached)
+                for seam_kf in (kf_slot, best):
+                    self.m = loop_closing.weld_after_merge(
+                        self.m, seam_kf, self.K,
+                        width=self.cfg.camera.width,
+                        height=self.cfg.camera.height,
+                        scale_factor=self.cfg.orb.scale_factor,
+                        n_levels=self.cfg.orb.n_levels)
                 accepted = True
                 break
             if not accepted:
                 continue
             book.streak = 0
             book.streak_cand = -1
+            book.last_event_ingest = self.stats["kf_ingested"]
             self._mark_corrected_and_lock()
             if run_gba and self._gba_guard_ok():
-                self.run_global_ba()
+                # deeper solve after events: the moved map's whole arc
+                # must re-settle against cross-agent observations, not
+                # just the seam window
+                self.run_global_ba(iters=10, cg_iters=40)
 
     # ------------------------------------------------------------------
     def _gba_guard_ok(self, max_kfs: int = 200, max_maps: int = 3) -> bool:

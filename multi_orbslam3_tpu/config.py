@@ -131,6 +131,10 @@ class LoopConfig:
     scale_gate: Tuple[float, float] = (0.9, 1.1)  # inertial merge gate (:95-118)
     n_candidates: int = 3            # N-best candidate groups (DetectNBest)
     min_proj_matches: int = 25       # guided-projection acceptance gate
+    min_map_kfs: int = 12            # maturity gate: skip place recognition
+    # for maps smaller than this (reference NewDetectCommonRegions skips
+    # <12-KF maps — an immature-map merge poisons both agents)
+    event_interval_kfs: int = 5      # fresh KFs required between events
 
 
 @dataclasses.dataclass(frozen=True)

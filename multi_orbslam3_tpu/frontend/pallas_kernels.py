@@ -34,6 +34,9 @@ _LANE = 128
 
 @functools.lru_cache(maxsize=1)
 def use_pallas() -> bool:
+    import os
+    if os.environ.get("MO3_NO_PALLAS"):
+        return False
     return jax.default_backend() == "tpu"
 
 

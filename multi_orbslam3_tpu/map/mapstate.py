@@ -274,6 +274,29 @@ def add_mappoints(m: MapState, pos: jnp.ndarray, ok: jnp.ndarray,
     return m._replace(kf_mp=kfmp), slots
 
 
+def add_mappoints_raw_padded(m: MapState, pos, ok, desc, ref_kf, agent=0):
+    """add_mappoints_raw with the batch padded to a power-of-2 class:
+    network ingest sees arbitrary batch sizes and every new size is a
+    fresh XLA compilation — shape classes bound the compile count (and
+    the tunneled worker's compile load). Returns slots for the REAL rows
+    only."""
+    import numpy as np
+    B = int(np.asarray(pos).shape[0])
+    Bp = max(8, 1 << (B - 1).bit_length())
+    if Bp != B:
+        padn = Bp - B
+        pos = jnp.concatenate([jnp.asarray(pos, jnp.float32),
+                               jnp.zeros((padn, 3), jnp.float32)])
+        ok = jnp.concatenate([jnp.asarray(ok, bool),
+                              jnp.zeros(padn, bool)])
+        desc = jnp.concatenate([jnp.asarray(desc, jnp.uint32),
+                                jnp.zeros((padn, 8), jnp.uint32)])
+        ref_kf = jnp.concatenate([jnp.asarray(ref_kf, jnp.int32),
+                                  jnp.zeros(padn, jnp.int32)])
+    m2, slots = add_mappoints_raw(m, pos, ok, desc, ref_kf, agent)
+    return m2, slots[:B]
+
+
 @jax.jit
 def add_mappoints_raw(m: MapState, pos: jnp.ndarray, ok: jnp.ndarray,
                       desc: jnp.ndarray, ref_kf: jnp.ndarray,

@@ -20,7 +20,9 @@ def _small_config():
                           max_obs=16384, max_obs_per_kf=256),
         local_mapping=cfg.LocalMappingConfig(
             local_ba_kfs=8, local_ba_fixed_kfs=4, local_ba_points=1024,
-            local_ba_iters=8))
+            local_ba_iters=8),
+        # short CI sequences never reach the production 12-KF maturity gate
+        loop=cfg.LoopConfig(min_map_kfs=6, event_interval_kfs=2))
 
 
 def _healthy_map(n_frames=25):

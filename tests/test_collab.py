@@ -23,6 +23,8 @@ def small_config():
                                              local_ba_points=1024,
                                              local_ba_iters=8),
         bow=cfg.BoWConfig(branching=6, levels=3),
+        # short CI sequences never reach the production 12-KF maturity gate
+        loop=cfg.LoopConfig(min_map_kfs=6, event_interval_kfs=2),
     )
 
 
