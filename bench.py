@@ -1,17 +1,22 @@
 """Benchmark: FULL-SYSTEM accuracy + throughput across BASELINE configs.
 
-Prints ONE JSON line. Primary metric stays tracked frames/s/chip
-(vs_baseline = fps / the reference's 20 fps real-time envelope,
-BASELINE.md), but the line also carries per-config full-system results:
+Prints ONE JSON line on stdout. Primary metric stays tracked
+frames/s/chip (vs_baseline = fps / the reference's 20 fps real-time
+envelope, BASELINE.md), and the line carries per-config full-system
+results for the CORE configs:
 
 - mono / stereo / mono_inertial / collab_2agent: ATE RMSE (Sim3-aligned;
   SE3 for stereo) over OK-tracked frames of a synthetic ground-truth
   sequence, plus fps measured over the WHOLE pipeline (keyframe
   insertion, triangulation, fusion, local BA, loop closing included —
   two-pass protocol so compilation is excluded but mapping work is not).
-- gba_iters_per_s: global-BA PCG iterations/s on the collaborative arena.
-- euroc: activates when an EuRoC dataset directory exists
-  (EUROC_ROOT env var or ./datasets/euroc/MH01).
+
+The headline JSON is printed IMMEDIATELY after the core configs so a
+driver-side timeout can never lose the scored result (BENCH_r02/r03 both
+timed out before the old end-of-run print). Heavier studies — 4-agent
+collab, GBA iters/s at arena scale, kernel micro-bench, the virtual-mesh
+GBA scaling sweep, EuRoC (if a dataset exists) — run only under
+MO3_BENCH_FULL=1 and report on stderr, keeping stdout single-line.
 
 The reference's validation story is trajectory export + ATE
 (src/ServerSystem.cc:134-185); this bench reproduces it in-process.
@@ -46,30 +51,6 @@ def main() -> None:
     log("bench: collab 2-agent (150 frames, GBA on)...")
     configs["collab_2agent"], server = B.bench_collab(n_agents=2)
     log(f"  -> {configs['collab_2agent']}")
-    log("bench: collab 4-agent (BASELINE config #5)...")
-    configs["collab_4agent"], server4 = B.bench_collab(
-        n_agents=4, n_frames=100, warmup=False)
-    log(f"  -> {configs['collab_4agent']}")
-    log("bench: global BA iters/s (on the 2-agent arena)...")
-    gba = B.bench_gba(server)
-    log(f"  -> {gba}")
-    log("bench: global BA iters/s (on the 4-agent arena)...")
-    gba4 = B.bench_gba(server4)
-    gba["arena_4agent"] = gba4
-    log(f"  -> {gba4}")
-    log("bench: frontend kernel micro-bench (pallas vs XLA)...")
-    kernels = B.bench_kernels()
-    log(f"  -> {kernels}")
-    log("bench: distributed GBA scaling sweep (virtual CPU devices)...")
-    scaling = _gba_scaling_sweep(log)
-    log(f"  -> {scaling}")
-
-    euroc_root = os.environ.get(
-        "EUROC_ROOT", os.path.join(os.path.dirname(__file__),
-                                   "datasets", "euroc", "MH01"))
-    euroc = B.bench_euroc(euroc_root)
-    if euroc:
-        configs["euroc_mono"] = euroc
 
     fps = configs["mono"].get("fps", 0.0)
     print(json.dumps({
@@ -78,10 +59,41 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(fps / 20.0, 3),
         "configs": configs,
-        "gba": gba,
-        "gba_scaling": scaling,
-        "kernels": kernels,
-    }))
+    }), flush=True)
+
+    if os.environ.get("MO3_BENCH_FULL") != "1":
+        return
+
+    # ---- full mode: heavy studies, results on stderr only -------------
+    extra = {}
+    log("bench[full]: collab 4-agent (BASELINE config #5)...")
+    try:
+        extra["collab_4agent"], server4 = B.bench_collab(
+            n_agents=4, n_frames=100, warmup=False)
+        log(f"  -> {extra['collab_4agent']}")
+        log("bench[full]: global BA iters/s (4-agent arena)...")
+        extra["gba_4agent"] = B.bench_gba(server4)
+        log(f"  -> {extra['gba_4agent']}")
+    except Exception as e:  # noqa: BLE001
+        extra["collab_4agent_error"] = str(e)[:300]
+    log("bench[full]: global BA iters/s (2-agent arena)...")
+    extra["gba"] = B.bench_gba(server)
+    log(f"  -> {extra['gba']}")
+    log("bench[full]: frontend kernel micro-bench (pallas vs XLA)...")
+    extra["kernels"] = B.bench_kernels()
+    log(f"  -> {extra['kernels']}")
+    log("bench[full]: distributed GBA scaling sweep (virtual CPU mesh)...")
+    extra["gba_scaling"] = _gba_scaling_sweep(log)
+    log(f"  -> {extra['gba_scaling']}")
+
+    euroc_root = os.environ.get(
+        "EUROC_ROOT", os.path.join(os.path.dirname(__file__),
+                                   "datasets", "euroc", "MH01"))
+    euroc = B.bench_euroc(euroc_root)
+    if euroc:
+        extra["euroc_mono"] = euroc
+
+    log("FULL_RESULTS " + json.dumps(extra))
 
 
 def _gba_scaling_sweep(log):

@@ -1156,7 +1156,8 @@ class CollabServer:
             protect[own[-3:]] = True    # newest few (still being tracked)
         before = np.array(self.m.kf_valid)
         before_mp = np.array(self.m.mp_valid)
-        self.m, n_kf, n_mp = culling.cull(self.m, jnp.asarray(protect))
+        self.m, n_kf, n_mp = culling.cull(self.m, jnp.asarray(protect),
+                                          age_kf=6)
         if n_kf > 0:
             after = np.array(self.m.kf_valid)
             culled = np.nonzero(before & ~after)[0]

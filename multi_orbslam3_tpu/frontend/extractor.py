@@ -85,7 +85,16 @@ def _select_level_keypoints(score: jnp.ndarray, n_out: int, cell: int,
     flat_v = cv.reshape(-1)
     flat_y = py.reshape(-1)
     flat_x = px.reshape(-1)
-    n_out = min(n_out, flat_v.shape[0])
+    if flat_v.shape[0] < n_out:
+        # small pyramid levels can have fewer candidate slots than the
+        # level budget; pad with score-0 entries so every level emits
+        # EXACTLY n_out rows (a short return desyncs the per-level
+        # concat lengths downstream — observed as a (1143,) vs (1024,)
+        # add_keyframe crash on 320x240 inputs)
+        pad = n_out - flat_v.shape[0]
+        flat_v = jnp.pad(flat_v, (0, pad))
+        flat_y = jnp.pad(flat_y, (0, pad))
+        flat_x = jnp.pad(flat_x, (0, pad))
     top_v, top_i = jax.lax.top_k(flat_v, n_out)
     uv = jnp.stack([flat_x[top_i].astype(jnp.float32),
                     flat_y[top_i].astype(jnp.float32)], axis=-1)

@@ -39,7 +39,7 @@ def redundant_keyframes(m: MapState, protect: jnp.ndarray,
 
 @jax.jit
 def orphan_mappoints(m: MapState, min_obs: int = 2,
-                     age_kf: int = 6) -> jnp.ndarray:
+                     age_kf: int = 3) -> jnp.ndarray:
     """(P,) bool mask of landmarks that failed to gain observations — older
     than `age_kf` keyframes but observed by fewer than `min_obs` — or whose
     found/visible ratio fell below 0.25 (both tests from the reference's
@@ -55,11 +55,15 @@ def orphan_mappoints(m: MapState, min_obs: int = 2,
 
 
 def cull(m: MapState, protect_kf: jnp.ndarray,
-         max_kf_per_round: int = 4) -> Tuple[MapState, int, int]:
+         max_kf_per_round: int = 4, age_kf: int = 3) -> Tuple[MapState, int, int]:
     """One culling round: erase orphan landmarks, then up to
     `max_kf_per_round` redundant keyframes (host-driven like the
-    reference's incremental culling loop). Returns (map, n_kf, n_mp)."""
-    mp_mask = orphan_mappoints(m)
+    reference's incremental culling loop). Returns (map, n_kf, n_mp).
+
+    `age_kf` defaults to the reference's ~3-KF grace period
+    (src/LocalMapping.cc:447-519); the collaborative server passes a
+    laxer window because its n_kf counter advances in batched ingests."""
+    mp_mask = orphan_mappoints(m, age_kf=age_kf)
     n_mp = int(jnp.sum(mp_mask))
     if n_mp > 0:
         slots = jnp.where(mp_mask, jnp.arange(m.max_mp, dtype=jnp.int32), -1)

@@ -72,7 +72,11 @@ def test_mono_inertial_epoch_timestamps(tmp_path):
     1.4e9 s (128 s spacing) made bootstrap-window selection degenerate
     before the relative-time fix (ADVICE r2 medium)."""
     from multi_orbslam3_tpu.pipeline.inertial_system import MonoInertialSlam
-    c, seq, root = _write_dataset(tmp_path, imu=True, n_frames=36)
+    # 60 frames @ 20 Hz = 2.95 s — the VI init gate needs >= 2.0 s of
+    # integration time (the reference's ~2 s mono-inertial minimum,
+    # src/LocalMapping.cc:1390); a 36-frame/1.75 s drill is structurally
+    # too short to initialize no matter how good the data is
+    c, seq, root = _write_dataset(tmp_path, imu=True, n_frames=60)
     c = c.replace(
         orb=cfg.ORBConfig(n_features=256, n_levels=4),
         map=cfg.MapConfig(max_keyframes=64, max_mappoints=2048,
@@ -86,7 +90,7 @@ def test_mono_inertial_epoch_timestamps(tmp_path):
     for t, img, acc, gyro, dt in it:
         slam.process_frame_imu(img, t, acc, gyro, dt)
         n += 1
-    assert n == 36
+    assert n == 60
     # the bootstrap preintegration factor spans the keyframe gap (the
     # float32 failure silently attached none / a ~12 s window)
     own = [k for k in range(int(slam.m.n_kf)) if slam.kf_preint[k]]
