@@ -47,6 +47,15 @@ from multi_orbslam3_tpu.pipeline import loop_closing
 from multi_orbslam3_tpu.pipeline.tracking import level_inv_sigma2
 
 
+def _is_ready(x) -> bool:
+    """True when a jax array's computation has completed (async-dispatch
+    probe; plain numpy inputs are always ready)."""
+    try:
+        return x.is_ready()
+    except AttributeError:
+        return True
+
+
 @dataclasses.dataclass
 class AgentBook:
     """Per-agent bookkeeping (the ClientHandler analog, minus threads)."""
@@ -126,6 +135,8 @@ class CollabServer:
         self._orphan_preint: Dict[int, List[Tuple[int, np.ndarray]]] = {}
         self._key = jax.random.PRNGKey(99)
         self._pr_queue: List[Tuple[int, int]] = []      # (agent, kf_slot)
+        self._gba_inflight = None       # incremental-GBA state (see
+        #                                 start_global_ba_async)
         self.stats = {"kf_ingested": 0, "mp_ingested": 0, "merges": 0,
                       "loops": 0, "dropped_kf": 0, "gba_runs": 0}
 
@@ -303,8 +314,11 @@ class CollabServer:
                 mp_budget -= used_mp
         self._resolve_pending_assoc()
         self._run_place_recognition(run_gba=run_gba_on_events)
+        self._poll_gba()
         self._cycle_count = getattr(self, "_cycle_count", 0) + 1
-        if self._cycle_count % 8 == 0:
+        if self._cycle_count % 8 == 0 and self._gba_inflight is None:
+            # culling is deferred while a GBA is in flight: erasures
+            # would invalidate the snapshot the solve runs on
             self._cull()
         self._downlink()
 
@@ -779,11 +793,15 @@ class CollabServer:
             book.streak_cand = -1
             book.last_event_ingest = self.stats["kf_ingested"]
             self._mark_corrected_and_lock()
+            # a correction just moved poses: any solve still in flight
+            # runs on a stale snapshot and must not adopt
+            self.abort_global_ba()
             if run_gba and self._gba_guard_ok():
                 # deeper solve after events: the moved map's whole arc
                 # must re-settle against cross-agent observations, not
-                # just the seam window
-                self.run_global_ba(iters=10, cg_iters=40)
+                # just the seam window. Time-sliced off the critical
+                # path: one GN step per comm cycle
+                self.start_global_ba_async(iters=10, cg_iters=40)
 
     # ------------------------------------------------------------------
     def _gba_guard_ok(self, max_kfs: int = 200, max_maps: int = 3) -> bool:
@@ -883,15 +901,9 @@ class CollabServer:
     # ==================================================================
     # server-side global BA (the distributed Schur reduction entry)
     # ==================================================================
-    def run_global_ba(self, iters: int = 6, cg_iters: int = 30,
-                      distributed: Optional[bool] = None,
-                      force_shard: bool = False) -> None:
-        """Full-arena visual BA (RunGlobalBundleAdjustment analog).
-        Observations come straight from the arena's kf_mp arrays. With
-        more than one device (or distributed=True) the observation list
-        shards across the mesh and every Schur reduction rides a psum
-        (BASELINE.json's distributed Schur-complement criterion)."""
-        _t_gba0 = time.perf_counter()
+    def _assemble_gba(self):
+        """Observation list + gauge mask for a full-arena GBA, from the
+        arena's kf_mp arrays. Returns (obs, K_obs, fixed, inert)."""
         m = self.m
         Kc, N = m.kf_mp.shape
         obs_kf = jnp.repeat(jnp.arange(Kc, dtype=jnp.int32), N)
@@ -923,6 +935,21 @@ class CollabServer:
         if inert:
             fixed |= np.isin(np.array(m.kf_agent), inert) \
                 & np.array(m.kf_valid)
+        return obs, K_obs, fixed, inert
+
+    def run_global_ba(self, iters: int = 6, cg_iters: int = 30,
+                      distributed: Optional[bool] = None,
+                      force_shard: bool = False) -> None:
+        """Full-arena visual BA (RunGlobalBundleAdjustment analog),
+        SYNCHRONOUS entry (tests, dryrun, benchmarks). The live comm
+        path uses start_global_ba_async instead. Observations come
+        straight from the arena's kf_mp arrays. With more than one
+        device (or distributed=True) the observation list shards across
+        the mesh and every Schur reduction rides a psum (BASELINE.json's
+        distributed Schur-complement criterion)."""
+        _t_gba0 = time.perf_counter()
+        m = self.m
+        obs, K_obs, fixed, inert = self._assemble_gba()
         if distributed is None:
             distributed = len(jax.devices()) > 1
         if distributed or force_shard:
@@ -934,6 +961,13 @@ class CollabServer:
             res = global_ba.global_bundle_adjust(
                 m.kf_pose, jnp.asarray(fixed), m.mp_pos, m.mp_valid, obs,
                 K_obs, iters=iters, cg_iters=cg_iters)
+        c_in, c_out = float(res.chi2_in), float(res.chi2)
+        if np.isfinite(c_in) and \
+                (not np.isfinite(c_out) or c_out > max(c_in * 1.5,
+                                                       c_in + 0.5)):
+            self.stats["gba_rejected"] = \
+                self.stats.get("gba_rejected", 0) + 1
+            return
         self.m = m._replace(kf_pose=res.poses, mp_pos=res.points)
         jax.block_until_ready(self.m.kf_pose)
         self.stats["gba_runs"] += 1
@@ -946,6 +980,158 @@ class CollabServer:
         # inertial agents' poses/velocities that the visual-only GBA held
         # fixed, with IMU factors holding the metric gauge
         if inert:
+            self.stats["vi_windows"] = self.stats.get("vi_windows", 0) + \
+                self.run_inertial_refinement()
+        self._mark_all_dirty_and_lock()
+
+    # ------------------------------------------------------------------
+    # asynchronous (time-sliced) GBA — the reference detaches
+    # RunGlobalBundleAdjustment to its own thread and keeps serving comm
+    # while it runs (src/LoopClosing.cc:1072-1076,1285-1292). On a single
+    # accelerator true thread-parallel compute is impossible (device
+    # programs serialize), so the TPU-native detachment is cooperative
+    # time-slicing: ONE GN step is dispatched per comm cycle (async
+    # dispatch, never blocked on), and the result is adopted when all
+    # steps have drained. Keyframes/landmarks ingested while the solve
+    # was in flight are corrected through their parent chain at adoption
+    # — the reference's mTcwBefGBA bookkeeping (LoopClosing.cc:2731-2790).
+    # ------------------------------------------------------------------
+    def start_global_ba_async(self, iters: int = 10,
+                              cg_iters: int = 30) -> None:
+        """Snapshot the arena and begin an incremental GBA. A solve
+        already in flight is kept (callers abort explicitly on new
+        loop/merge events via abort_global_ba)."""
+        if self._gba_inflight is not None:
+            return
+        m = self.m
+        obs, K_obs, fixed, inert = self._assemble_gba()
+        self._gba_inflight = {
+            "poses": m.kf_pose, "points": m.mp_pos,
+            "obs": obs, "K_obs": K_obs, "fixed": jnp.asarray(fixed),
+            "point_valid": m.mp_valid, "inert": inert,
+            "iters_left": int(iters), "cg_iters": int(cg_iters),
+            "launch_n_kf": int(m.n_kf), "launch_n_mp": int(m.n_mp),
+            "before_pose": np.array(m.kf_pose),
+            "t0": time.perf_counter(),
+        }
+
+    def abort_global_ba(self) -> None:
+        """Drop an in-flight GBA (a new loop/merge correction supersedes
+        it — the reference's mbStopGBA/mnFullBAIdx abort path,
+        src/LoopClosing.cc:1064-1078)."""
+        if self._gba_inflight is not None:
+            self._gba_inflight = None
+            self.stats["gba_aborted"] = self.stats.get("gba_aborted", 0) + 1
+
+    def drain_gba(self) -> None:
+        """Block until an in-flight GBA finishes and adopt it (shutdown /
+        end-of-sequence path — the reference joins the GBA thread)."""
+        st = self._gba_inflight
+        while self._gba_inflight is not None:
+            st = self._gba_inflight
+            if st["iters_left"] > 0:
+                res = global_ba.global_bundle_adjust(
+                    st["poses"], st["fixed"], st["points"],
+                    st["point_valid"], st["obs"], st["K_obs"],
+                    iters=1, cg_iters=st["cg_iters"])
+                st["poses"], st["points"] = res.poses, res.points
+                st["iters_left"] -= 1
+            else:
+                jax.block_until_ready(st["poses"])
+                self._adopt_gba(st)
+                self._gba_inflight = None
+
+    def _poll_gba(self) -> None:
+        """Advance the in-flight GBA by at most one GN step (async
+        dispatch — at most one step queued on the device at a time), or
+        adopt the finished result."""
+        st = self._gba_inflight
+        if st is None:
+            return
+        if st["iters_left"] > 0:
+            # don't queue a second step behind an unfinished one — the
+            # device would serve GBA back-to-back and starve ingest
+            if not _is_ready(st["poses"]):
+                return
+            res = global_ba.global_bundle_adjust(
+                st["poses"], st["fixed"], st["points"], st["point_valid"],
+                st["obs"], st["K_obs"], iters=1, cg_iters=st["cg_iters"])
+            st.setdefault("chi2_launch", res.chi2_in)
+            st["chi2_final"] = res.chi2
+            st["poses"], st["points"] = res.poses, res.points
+            st["iters_left"] -= 1
+            return
+        if not (_is_ready(st["poses"]) and _is_ready(st["points"])):
+            return
+        self._adopt_gba(st)
+        self._gba_inflight = None
+
+    def _adopt_gba(self, st) -> None:
+        """Write the finished GBA result into the live arena, correcting
+        entities created during the solve through their parent chain."""
+        # divergence gate: a solve that made the mean inlier chi2 worse
+        # (PCG blowup on an ill-conditioned arena) must not be adopted
+        c_in = float(st.get("chi2_launch", float("nan")))
+        c_out = float(st.get("chi2_final", 0.0))
+        if np.isfinite(c_in) and \
+                (not np.isfinite(c_out) or c_out > max(c_in * 1.5,
+                                                       c_in + 0.5)):
+            self.stats["gba_rejected"] = \
+                self.stats.get("gba_rejected", 0) + 1
+            return
+        m = self.m
+        res_pose = np.array(st["poses"])
+        res_pts = np.array(st["points"])
+        launch_nk = st["launch_n_kf"]
+        launch_np = st["launch_n_mp"]
+        before = st["before_pose"]
+        cur_pose = np.array(m.kf_pose)
+        cur_valid = np.array(m.kf_valid)
+        new_pose = cur_pose.copy()
+        mask = cur_valid[:launch_nk]
+        new_pose[:launch_nk][mask] = res_pose[:launch_nk][mask]
+        # mid-flight keyframes: T_cw_new = T_cw_old @ inv(T_parent_old)
+        # @ T_parent_new, walking to the nearest snapshot-era ancestor
+        # (LoopClosing.cc:2746-2762). `before` holds the old parent pose.
+        parent = np.array(m.kf_parent)
+        n_kf = int(m.n_kf)
+        for k in range(launch_nk, n_kf):
+            if not cur_valid[k]:
+                continue
+            p = int(parent[k])
+            while p >= launch_nk:
+                p = int(parent[p])
+            if p < 0:
+                continue
+            T_rel = cur_pose[k] @ np.linalg.inv(before[p])
+            new_pose[k] = T_rel @ new_pose[p]
+        # landmarks: snapshot rows take the solved positions; mid-flight
+        # rows ride their reference KF's correction (x in the ref camera
+        # is invariant: x_w' = inv(T_ref') @ T_ref @ x_w)
+        cur_mp = np.array(m.mp_pos)
+        mp_valid = np.array(m.mp_valid)
+        new_mp = cur_mp.copy()
+        pmask = mp_valid[:launch_np]
+        new_mp[:launch_np][pmask] = res_pts[:launch_np][pmask]
+        n_mp = int(m.n_mp)
+        if n_mp > launch_np:
+            ref = np.array(m.mp_ref_kf)[launch_np:n_mp]
+            sel = mp_valid[launch_np:n_mp] & (ref >= 0)
+            if sel.any():
+                r = np.clip(ref[sel], 0, cur_pose.shape[0] - 1)
+                A = np.einsum("kij,kjl->kil",
+                              np.linalg.inv(new_pose[r]), cur_pose[r])
+                x = cur_mp[launch_np:n_mp][sel]
+                xh = np.concatenate([x, np.ones((len(x), 1))], 1)
+                new_mp[launch_np:n_mp][sel] = \
+                    np.einsum("kij,kj->ki", A, xh)[:, :3]
+        self.m = m._replace(kf_pose=jnp.asarray(new_pose),
+                            mp_pos=jnp.asarray(new_mp))
+        self.stats["gba_runs"] += 1
+        self.stats["gba_wall_s"] = round(
+            self.stats.get("gba_wall_s", 0.0)
+            + (time.perf_counter() - st["t0"]), 3)
+        if st["inert"]:
             self.stats["vi_windows"] = self.stats.get("vi_windows", 0) + \
                 self.run_inertial_refinement()
         self._mark_all_dirty_and_lock()

@@ -97,11 +97,11 @@ class TrackingConfig:
     min_matches_motion: int = 20     # TrackWithMotionModel acceptance
     min_matches_refkf: int = 15
     min_matches_localmap: int = 30
-    kf_min_interval: int = 2         # min frames between KFs (mMinFrames;
+    kf_min_interval: int = 3         # min frames between KFs (mMinFrames;
     # the reference uses 0 but CULLS client-side redundancy later — here
     # the server culls, so the floor bounds the per-KF mapping-chain load)
     kf_max_interval: int = 20        # mMaxFrames ~ fps (NeedNewKeyFrame :2813)
-    kf_tracked_ratio: float = 0.85   # insert KF when tracked decays below
+    kf_tracked_ratio: float = 0.8   # insert KF when tracked decays below
     # ratio * best-inliers-since-last-KF (thRefRatio analog)
     search_radius: float = 15.0      # projection search window (px)
     relost_timeout: int = 100        # frames in RECENTLY_LOST before LOST
@@ -113,8 +113,10 @@ class LocalMappingConfig:
 
     local_ba_kfs: int = 16           # optimized KF window (pow2-friendly)
     local_ba_fixed_kfs: int = 8      # fixed anchor KFs
-    local_ba_points: int = 4096      # landmark cap in the window
-    local_ba_iters: int = 10
+    local_ba_points: int = 2048      # landmark cap in the window (a 16+8
+    # window tracks ~1-2k live landmarks; the old 4096 cap made every GN
+    # iteration pay 2x dead compute — measured 86 ms/KF on chip)
+    local_ba_iters: int = 6          # warm-started windows converge in ~5
     triangulation_neighbors: int = 8  # CreateNewMapPoints neighbor KFs (ref <=20)
     culling_redundancy: float = 0.9  # KeyFrameCulling: >=90% seen elsewhere
 

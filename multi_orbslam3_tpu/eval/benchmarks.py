@@ -70,11 +70,9 @@ def _drive_mono(slam_factory, seq) -> Dict:
     transfer is issued while the current frame computes (a real camera
     pipeline DMAs the same way)."""
     F = seq.images.shape[0]
-    states: List = []
     frame_ms: List[float] = []
     for timed in (False, True):
         slam = slam_factory()
-        states = []
         frame_ms = []
         nxt = slam.to_device(seq.images[0])
         t0 = time.perf_counter()
@@ -83,11 +81,12 @@ def _drive_mono(slam_factory, seq) -> Dict:
             cur = nxt
             if i + 1 < F:
                 nxt = slam.to_device(seq.images[i + 1])
-            states.append(slam.process_frame(cur,
-                                             float(seq.timestamps[i])))
+            slam.process_frame_pipelined(cur, float(seq.timestamps[i]))
             frame_ms.append((time.perf_counter() - tf) * 1e3)
+        slam.finish()
         wall = time.perf_counter() - t0
     fm = np.asarray(frame_ms)
+    states = [s for _, s in slam.frame_log]
     out = {"fps": round(F / wall, 2), "frames": F, "wall_s": round(wall, 2),
            "frame_ms_p50": round(float(np.percentile(fm, 50)), 1),
            "frame_ms_p99": round(float(np.percentile(fm, 99)), 1),
@@ -203,6 +202,7 @@ def bench_collab(n_agents: int = 2, n_frames: int = 150,
                         cl.stats["corrections_applied"] > 0:
                     first_corr[a] = i
             server.comm_cycle()
+        server.drain_gba()      # adopt any time-sliced GBA still in flight
         wall = time.perf_counter() - t0
     out = {"agents": n_agents, "frames": n_frames,
            "total_fps": round(n_agents * n_frames / wall, 2),

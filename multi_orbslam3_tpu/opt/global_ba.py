@@ -33,7 +33,8 @@ from multi_orbslam3_tpu.opt.local_ba import BAObservations, _obs_terms, _chi2
 class GBAResult(NamedTuple):
     poses: jnp.ndarray
     points: jnp.ndarray
-    chi2: jnp.ndarray
+    chi2: jnp.ndarray           # mean inlier chi2 AFTER the solve
+    chi2_in: jnp.ndarray = jnp.nan   # ... and BEFORE (divergence gate)
 
 
 def _psum(x, axis_name):
@@ -43,6 +44,7 @@ def _psum(x, axis_name):
 @functools.partial(jax.jit,
                    static_argnames=("iters", "cg_iters", "axis_name",
                                     "point_aligned"))
+@robust.f32_matmuls
 def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
                          points: jnp.ndarray, point_valid: jnp.ndarray,
                          obs: BAObservations, K: cam.PinholeK,
@@ -156,15 +158,20 @@ def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
         return (new_poses, points_ + dp), jnp.sum(jnp.where(
             obs.valid, c2, 0.0))
 
+    def mean_chi2(po, pt):
+        r, _, _, behind = _obs_terms(po, pt, obs, K)
+        c2 = _chi2(r, obs.inv_sigma2)
+        n = jnp.maximum(_psum(jnp.sum(
+            (obs.valid & ~behind).astype(jnp.int32)), axis_name), 1)
+        return _psum(jnp.sum(jnp.where(obs.valid & ~behind, c2, 0.0)),
+                     axis_name) / n
+
+    chi2_in = mean_chi2(poses, points)
     (poses_f, points_f), chi2_hist = jax.lax.scan(
         gn_step, (poses, points), None, length=iters)
-    r, _, _, behind = _obs_terms(poses_f, points_f, obs, K)
-    c2 = _chi2(r, obs.inv_sigma2)
-    n = jnp.maximum(_psum(jnp.sum((obs.valid & ~behind).astype(jnp.int32)),
-                          axis_name), 1)
-    chi2 = _psum(jnp.sum(jnp.where(obs.valid & ~behind, c2, 0.0)),
-                 axis_name) / n
-    return GBAResult(poses=poses_f, points=points_f, chi2=chi2)
+    chi2 = mean_chi2(poses_f, points_f)
+    return GBAResult(poses=poses_f, points=points_f, chi2=chi2,
+                     chi2_in=chi2_in)
 
 
 def global_bundle_adjust_sharded(poses, fixed, points, point_valid,
@@ -236,6 +243,7 @@ def global_bundle_adjust_sharded(poses, fixed, points, point_valid,
         else cam.PinholeK(*([P()] * 4))
 
     @jax.jit
+    @robust.f32_matmuls
     def run(poses, fixed, points, point_valid, obs_in, K_in):
         def inner(po, fx, pt, pv, o, k):
             return global_bundle_adjust(po, fx, pt, pv, o, k, iters=iters,
@@ -244,7 +252,8 @@ def global_bundle_adjust_sharded(poses, fixed, points, point_valid,
         return shard_map(
             inner, mesh=mesh,
             in_specs=(P(), P(), P(), P(), spec, kspec),
-            out_specs=GBAResult(poses=P(), points=P(), chi2=P()))(
+            out_specs=GBAResult(poses=P(), points=P(), chi2=P(),
+                                chi2_in=P()))(
             poses, fixed, points, point_valid, obs_in, K_in)
 
     obs_dev = jax.tree_util.tree_map(

@@ -78,6 +78,7 @@ def _inertial_residual(d_i, d_j, T_cw_i, T_cw_j, v_i, v_j, bg_i, ba_i,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "fix_points"))
+@robust.f32_matmuls
 def inertial_bundle_adjust(poses: jnp.ndarray, velocities: jnp.ndarray,
                            bg: jnp.ndarray, ba: jnp.ndarray,
                            fixed: jnp.ndarray, points: jnp.ndarray,

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from multi_orbslam3_tpu.geometry import so3
 from multi_orbslam3_tpu.imu.preintegration import Preintegrated
+from multi_orbslam3_tpu.opt import robust
 
 
 class InertialInitResult(NamedTuple):
@@ -79,6 +80,7 @@ def _residuals(theta, R_wb, p_wb, preints: Preintegrated, G,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "fix_scale", "pose_sigma"))
+@robust.f32_matmuls
 def inertial_init(R_wb: jnp.ndarray, p_wb: jnp.ndarray,
                   preints: Preintegrated, G: float = 9.81,
                   prior_bg: float = 1e2, prior_ba: float = 1e5,

@@ -148,6 +148,7 @@ def _grouped_point_blocks(pt_k, prodE, prodH, prodb, Pw):
 
 @functools.partial(jax.jit, static_argnames=("iters", "structure_only",
                                              "grouped"))
+@robust.f32_matmuls
 def bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray, points: jnp.ndarray,
                   obs: BAObservations, K: cam.PinholeK, iters: int = 10,
                   chi2_th: float = robust.CHI2_MONO,

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from multi_orbslam3_tpu.geometry import camera as cam
 from multi_orbslam3_tpu.opt import pose_opt
+from multi_orbslam3_tpu.opt import robust
 
 
 class PnPResult(NamedTuple):
@@ -61,6 +62,7 @@ def _dlt_pose(X: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("n_hyp", "refine_rounds",
                                              "refine_iters"))
+@robust.f32_matmuls
 def pnp_ransac(K: cam.PinholeK, pts3d: jnp.ndarray, uv: jnp.ndarray,
                valid: jnp.ndarray, inv_sigma2: jnp.ndarray,
                key: jnp.ndarray, *, n_hyp: int = 256,

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from multi_orbslam3_tpu.geometry import sim3
+from multi_orbslam3_tpu.opt import robust
 
 
 class PoseGraphEdges(NamedTuple):
@@ -68,6 +69,7 @@ def _edge_residual(S_ij_flat, Si_flat, Sj_flat, di, dj, right=False):
 
 @functools.partial(jax.jit, static_argnames=("iters", "yaw_only", "solver",
                                              "cg_iters"))
+@robust.f32_matmuls
 def optimize_pose_graph(S_nodes: jnp.ndarray, fixed: jnp.ndarray,
                         edges: PoseGraphEdges, iters: int = 15,
                         fix_scale: bool | jnp.ndarray = False,

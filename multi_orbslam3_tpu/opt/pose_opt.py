@@ -53,6 +53,7 @@ def _residual_jac(T: jnp.ndarray, K: cam.PinholeK, p_w: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+@robust.f32_matmuls
 def pose_optimization(T_init: jnp.ndarray, K: cam.PinholeK,
                       p_world: jnp.ndarray, uv_obs: jnp.ndarray,
                       inv_sigma2: jnp.ndarray, mask: jnp.ndarray,

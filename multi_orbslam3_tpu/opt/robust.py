@@ -4,10 +4,29 @@ usage throughout Optimizer.cc; thresholds 5.991 / 7.815 are the 2-/3-dof
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
+
+
+def f32_matmuls(fn):
+    """Trace the wrapped function with float32 ("highest") matmul
+    precision. TPUs default f32 dot/einsum to bfloat16 passes; the
+    optimizer stack (normal equations, Schur products, PCG recurrences)
+    is ill-conditioned enough that bf16 silently diverges — observed as
+    a 3.6 m collaborative-ATE collapse on hardware while the same code
+    on CPU (true f32) stayed at 0.1 m. Apply UNDER @jax.jit so the
+    context is active at trace time. Frontend compute (pyramids,
+    matching, covisibility) keeps the fast default."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
 
 
 def huber_weight(chi2: jnp.ndarray, delta2: float) -> jnp.ndarray:

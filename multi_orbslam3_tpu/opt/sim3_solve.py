@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from multi_orbslam3_tpu.geometry import sim3
 from multi_orbslam3_tpu.geometry.sim3 import Sim3
+from multi_orbslam3_tpu.opt import robust
 
 
 def horn_sim3(p: jnp.ndarray, q: jnp.ndarray,
@@ -57,6 +58,7 @@ class Sim3RansacResult(NamedTuple):
 @functools.partial(jax.jit,
                    static_argnames=("n_hyp", "min_inliers", "fix_scale",
                                     "refine_iters"))
+@robust.f32_matmuls
 def sim3_ransac(p: jnp.ndarray, q: jnp.ndarray, valid: jnp.ndarray,
                 key: jnp.ndarray, n_hyp: int = 128,
                 inlier_th: float = 0.1, min_inliers: int = 20,
@@ -96,6 +98,7 @@ def sim3_ransac(p: jnp.ndarray, q: jnp.ndarray, valid: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
+@robust.f32_matmuls
 def optimize_sim3_reprojection(S0: Sim3, K, T_cur: jnp.ndarray,
                                T_cand: jnp.ndarray,
                                p_cand: jnp.ndarray, uv_cur: jnp.ndarray,

@@ -75,6 +75,7 @@ def _vi_residual(d, T_cw, v, bg0, ba0, T_prev_cw, v_prev,
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+@robust.f32_matmuls
 def pose_inertial_optimization(
         T_init: jnp.ndarray, v_init: jnp.ndarray,
         bg_init: jnp.ndarray, ba_init: jnp.ndarray,

@@ -89,6 +89,18 @@ class MonoSlam:
         # reference runs LocalMapping as a free thread; here JAX's async
         # dispatch plays that role and the host state machine polls)
         self._pending_map = None     # (future MapState, kf slot, scalars)
+        # pipelined frame loop (process_frame_pipelined): in-flight
+        # (feats, res, ts) + the device-resident prediction chain
+        self._pipe: List[tuple] = []
+        # frames in flight before the host state machine consumes one.
+        # Depth 1 hides the fetch behind one frame of device work; depth
+        # 2 measured FASTER raw fps but the 2-frame-stale fallback
+        # ladder lost ~25% of frames on the bench sequence — stability
+        # wins (the reference's LocalMapping lag is ~1 KF too)
+        self.pipeline_depth = 1
+        self._T_cur_dev = None
+        self._T_vel_dev = None
+        self.frame_log: List[Tuple[float, "TrackState"]] = []
         self.ref_kf = 0
         self.frames_since_kf = 0
         self.lost_count = 0
@@ -154,7 +166,77 @@ class MonoSlam:
             self._m_stats = None
             self._post_track(timestamp)
         self.trajectory.append((timestamp, np.asarray(self.T_cur)))
+        self.frame_log.append((timestamp, self.state))
         return self.state
+
+    # ------------------------------------------------------------------
+    # Pipelined frame loop: dispatch frame i, finalize frame i-1. The
+    # axon/TPU tunnel's device->host round-trip (~25 ms) would otherwise
+    # serialize with device compute every frame; here the fetch of frame
+    # i-1's packed scalars overlaps frame i's extract+track program. The
+    # prediction chain lives on device (_fused_step_chained); the host
+    # state machine (KF decision, fallbacks, state ladder) runs one
+    # frame behind, exactly like the reference's tracking thread
+    # consuming LocalMapping output asynchronously.
+    # ------------------------------------------------------------------
+    def process_frame_pipelined(self, img, timestamp: float) -> TrackState:
+        if self.state != TrackState.OK and not self._pipe:
+            # bootstrap / relost path: synchronous until tracking is OK
+            st = self.process_frame(img, timestamp)
+            self._T_cur_dev = None
+            return st
+        ts = self._rel_ts(timestamp)
+        img = self.to_device(img)
+        self.frame_id += 1
+        self._adopt_pending()
+        if self._T_cur_dev is None:
+            self._T_cur_dev = jnp.asarray(self.T_cur)
+            self._T_vel_dev = jnp.asarray(self.T_vel)
+        step = tracking._fused_step_chained(self.cfg)
+        feats, res, pose_dev, tvel_dev = step(
+            self.m, img, self._T_cur_dev, self._T_vel_dev)
+        try:
+            res.packed.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        self._pipe.append((feats, res, ts))
+        self._T_cur_dev, self._T_vel_dev = pose_dev, tvel_dev
+        while len(self._pipe) > self.pipeline_depth:
+            self._finalize_frame(*self._pipe.pop(0))
+        return self.state
+
+    def finish(self) -> None:
+        """Drain the pipelined loop (finalize all in-flight frames)."""
+        while self._pipe:
+            self._finalize_frame(*self._pipe.pop(0))
+        self._T_cur_dev = None
+
+    def _finalize_frame(self, feats: FrameFeatures, res, ts: float) -> None:
+        arr = np.asarray(res.packed)
+        T_pred = arr[18:34].reshape(4, 4).astype(np.float32)
+        # found/visible statistics on the CURRENT map (the fused step's
+        # m2 was computed against a map snapshot that may predate a KF
+        # insert finalized since) — dispatch, no fetch
+        if int(arr[16]) >= self.cfg.tracking.min_matches_refkf:
+            self.m = ms.update_found_visible(self.m, res.feat_mp,
+                                             res.visible)
+        self._m_stats = self.m
+        self._track_decide(feats, res, T_pred, ts)
+        self._m_stats = None
+        expected = arr[:16].reshape(4, 4)
+        if self.state not in (TrackState.OK, TrackState.RECENTLY_LOST):
+            # reset/new-map path: the in-flight frames tracked a dead
+            # gauge — drop them and fall back to the synchronous loop
+            self._pipe = []
+            self._T_cur_dev = None
+        elif not (np.allclose(self.T_cur, expected, atol=1e-5)
+                  or np.allclose(self.T_cur, T_pred, atol=1e-5)):
+            # a fallback/reloc moved the host pose off the device chain:
+            # resync (uploads are cheap; only the fetch round-trip isn't)
+            self._T_cur_dev = jnp.asarray(self.T_cur)
+            self._T_vel_dev = jnp.asarray(self.T_vel)
+        self.trajectory.append((ts, np.asarray(self.T_cur)))
+        self.frame_log.append((ts, self.state))
 
     def _pre_track(self, ts: float) -> None:
         """Hook: update the motion model before prediction (the inertial
@@ -262,7 +344,16 @@ class MonoSlam:
     def _track_decide(self, feats: FrameFeatures, res, T_pred: np.ndarray,
                       ts: float) -> None:
         c = self.cfg
-        n_in = int(res.n_inliers)
+        # ONE device->host transfer for everything the ladder reads
+        # (pose + counts). The tunnel round-trip is ~25 ms; fetching
+        # n_inliers and pose separately doubled the per-frame latency.
+        pose_np = None
+        if getattr(res, "packed", None) is not None:
+            arr = np.asarray(res.packed)
+            n_in = int(arr[16])
+            pose_np = arr[:16].reshape(4, 4).astype(np.float32)
+        else:
+            n_in = int(res.n_inliers)
 
         if n_in < c.tracking.min_matches_localmap:
             # fallback: descriptor tracking against the reference keyframe
@@ -272,6 +363,7 @@ class MonoSlam:
                 scale_factor=c.orb.scale_factor)
             if int(res2.n_inliers) >= c.tracking.min_matches_refkf:
                 res, n_in = res2, int(res2.n_inliers)
+                pose_np = None
 
         if n_in < c.tracking.min_matches_refkf and self.lost_count >= 2:
             # relocalization: BoW query against the keyframe database,
@@ -280,13 +372,16 @@ class MonoSlam:
             res3 = self._relocalize(feats)
             if res3 is not None:
                 res, n_in = res3, int(res3.n_inliers)
+                pose_np = None
 
         if n_in >= c.tracking.min_matches_refkf:
             # hook: the inertial subclass fuses the IMU preintegration
             # factor into the frame pose here (reference
             # PoseInertialOptimizationLastFrame, src/Optimizer.cc:7998)
-            res = self._refine_pose(feats, res)
-            T_new = np.asarray(res.pose)
+            res2 = self._refine_pose(feats, res)
+            if res2 is not res:
+                res, pose_np = res2, None
+            T_new = pose_np if pose_np is not None else np.asarray(res.pose)
             self.T_vel = (T_new @ np.linalg.inv(self.T_cur)).astype(np.float32)
             self.T_cur = T_new
             self.state = TrackState.OK

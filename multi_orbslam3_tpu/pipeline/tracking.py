@@ -38,6 +38,11 @@ class TrackResult(NamedTuple):
     n_matches: jnp.ndarray  # () int32 pre-optimization matches
     visible: jnp.ndarray    # (P,) bool landmarks in this frame's frustum
                             # (feeds MapPoint::IncreaseVisible statistics)
+    # (18,) f32 [pose.ravel(), n_inliers, n_matches] — everything the
+    # host state machine reads, in ONE device->host transfer. The axon
+    # tunnel's round-trip is ~25 ms; separate int(n_inliers) +
+    # np.asarray(pose) fetches were the single largest per-frame cost.
+    packed: jnp.ndarray = None
 
 
 def level_inv_sigma2(level: jnp.ndarray, scale_factor: float) -> jnp.ndarray:
@@ -169,7 +174,56 @@ def _fused_step(config):
         m2 = m._replace(
             mp_found=jnp.where(ok, m2.mp_found, m.mp_found),
             mp_visible=jnp.where(ok, m2.mp_visible, m.mp_visible))
+        res = res._replace(packed=jnp.concatenate([
+            res.pose.reshape(-1).astype(jnp.float32),
+            jnp.stack([res.n_inliers.astype(jnp.float32),
+                       res.n_matches.astype(jnp.float32)])]))
         return feats, res, m2
+
+    return step
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_step_chained(config):
+    """Fused extract+track with the prediction chain ON DEVICE.
+
+    The pipelined frame loop (system.process_frame_pipelined) dispatches
+    frame i and finalizes frame i-1's host state machine while i
+    computes, hiding the ~25 ms device->host tunnel round-trip behind
+    device work. That requires the next frame's T_pred to come from the
+    device-resident chain, not from host state: this step takes
+    (T_cur, T_vel), forms T_pred = T_vel @ T_cur, tracks, and returns
+    the guarded next chain state (pose falls back to T_pred and T_vel
+    holds when the track is weak — mirroring the host RECENTLY_LOST
+    prediction behavior, reference Tracking.cc:1691-1766).
+
+    packed layout: [pose(16), n_inliers, n_matches, T_pred(16)] — the
+    first 18 match _fused_step so _track_decide reads both."""
+    from multi_orbslam3_tpu.frontend import extractor as _ex
+    from multi_orbslam3_tpu.map import mapstate as _ms
+
+    c = config
+
+    @jax.jit
+    def step(m, img, T_cur, T_vel):
+        T_pred = (T_vel @ T_cur).astype(jnp.float32)
+        feats = _ex.extract_features(img.astype(jnp.float32), c)
+        K = cam.intrinsics_from_config(c.camera)
+        res = track_frame(
+            m, feats, T_pred, K, width=c.camera.width,
+            height=c.camera.height, scale_factor=c.orb.scale_factor,
+            n_levels=c.orb.n_levels,
+            radius_coarse=c.tracking.search_radius)
+        ok = res.n_inliers >= c.tracking.min_matches_refkf
+        pose = jnp.where(ok, res.pose, T_pred)
+        T_vel_new = jnp.where(ok, res.pose @ jnp.linalg.inv(T_cur), T_vel)
+        packed = jnp.concatenate([
+            pose.reshape(-1).astype(jnp.float32),
+            jnp.stack([res.n_inliers.astype(jnp.float32),
+                       res.n_matches.astype(jnp.float32)]),
+            T_pred.reshape(-1).astype(jnp.float32)])
+        res = res._replace(pose=pose, packed=packed)
+        return feats, res, pose, T_vel_new
 
     return step
 
