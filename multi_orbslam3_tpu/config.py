@@ -97,11 +97,11 @@ class TrackingConfig:
     min_matches_motion: int = 20     # TrackWithMotionModel acceptance
     min_matches_refkf: int = 15
     min_matches_localmap: int = 30
-    kf_min_interval: int = 3         # min frames between KFs (mMinFrames;
+    kf_min_interval: int = 2         # min frames between KFs (mMinFrames;
     # the reference uses 0 but CULLS client-side redundancy later — here
     # the server culls, so the floor bounds the per-KF mapping-chain load)
     kf_max_interval: int = 20        # mMaxFrames ~ fps (NeedNewKeyFrame :2813)
-    kf_tracked_ratio: float = 0.8   # insert KF when tracked decays below
+    kf_tracked_ratio: float = 0.85  # insert KF when tracked decays below
     # ratio * best-inliers-since-last-KF (thRefRatio analog)
     search_radius: float = 15.0      # projection search window (px)
     relost_timeout: int = 100        # frames in RECENTLY_LOST before LOST

@@ -115,13 +115,14 @@ def bench_stereo(n_frames: int = 80, seed: int = 9) -> Dict:
     F = seq.images.shape[0]
     for timed in (False, True):
         slam = StereoSlam(c, enable_loop_closing=True)
-        states = []
         t0 = time.perf_counter()
         for i in range(F):
-            states.append(slam.process_frame_stereo(
+            slam.process_frame_stereo_pipelined(
                 seq.images[i], seq.images_right[i],
-                float(seq.timestamps[i])))
+                float(seq.timestamps[i]))
+        slam.finish()
         wall = time.perf_counter() - t0
+    states = [s for _, s in slam.frame_log]
     out = {"fps": round(F / wall, 2), "frames": F, "wall_s": round(wall, 2),
            "stats": dict(slam.stats)}
     acc = _ate_over_ok(slam.trajectory, states, seq.T_cw, with_scale=False)

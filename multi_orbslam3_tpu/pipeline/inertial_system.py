@@ -155,11 +155,15 @@ class MonoInertialSlam(MonoSlam):
                 jnp.asarray(T_wb[:3, 3]), self._since_prev,
                 jnp.asarray(self.g_w), jnp.asarray(self.bg),
                 jnp.asarray(self.ba_bias))
+            # ONE device->host transfer for the predicted state (three
+            # separate np.asarray fetches cost a tunnel round-trip each)
+            flat = np.asarray(jnp.concatenate(
+                [R2.reshape(-1), v2, p2]))
             T_wb2 = np.eye(4, dtype=np.float32)
-            T_wb2[:3, :3] = np.asarray(R2)
-            T_wb2[:3, 3] = np.asarray(p2)
+            T_wb2[:3, :3] = flat[:9].reshape(3, 3)
+            T_wb2[:3, 3] = flat[12:15]
             T_pred = self._T_cw_from_wb(T_wb2)
-            self.v_cur = np.asarray(v2)
+            self.v_cur = flat[9:12].astype(np.float32)
             # feed the motion model with the IMU prediction
             self.T_vel = (T_pred @ np.linalg.inv(self.T_cur)).astype(
                 np.float32)
@@ -186,14 +190,19 @@ class MonoInertialSlam(MonoSlam):
             jnp.asarray(self.g_w), jnp.asarray(self.T_bc),
             gyro_walk2=float(self.calib.gyro_walk2),
             acc_walk2=float(self.calib.acc_walk2))
-        n_in = int(out.n_inliers)
-        pose = np.asarray(out.pose)
+        # one packed transfer: pose + velocity + biases + inlier count
+        flat = np.asarray(jnp.concatenate([
+            out.pose.reshape(-1), out.velocity, out.bg, out.ba,
+            out.n_inliers.astype(jnp.float32)[None]]))
+        n_in = int(flat[25])
+        pose = flat[:16].reshape(4, 4).astype(np.float32)
         if n_in < self.cfg.tracking.min_matches_refkf or \
                 not np.all(np.isfinite(pose)):
             return res
-        self.v_cur = np.asarray(out.velocity)
-        self.bg = np.asarray(out.bg)
-        self.ba_bias = np.asarray(out.ba)
+        self.v_cur = flat[16:19].astype(np.float32)
+        self.bg = flat[19:22].astype(np.float32)
+        self.ba_bias = flat[22:25].astype(np.float32)
+        self._refined_pose_np = pose     # _track_decide reuses the fetch
         from multi_orbslam3_tpu.pipeline.tracking import TrackResult
         return TrackResult(
             pose=out.pose, feat_mp=jnp.where(out.inliers, feat_mp, ms.NO_MP),
@@ -425,8 +434,12 @@ class MonoInertialSlam(MonoSlam):
             jnp.asarray(self.T_bc), iters=6,
             gyro_walk2=float(self.calib.gyro_walk2),
             acc_walk2=float(self.calib.acc_walk2))
-        if not bool(jnp.all(jnp.isfinite(res.poses))) or \
-                not bool(jnp.all(jnp.isfinite(res.velocities))):
+        # single packed transfer for finiteness gate + host mirrors
+        flat = np.asarray(jnp.concatenate([
+            res.poses.reshape(-1), res.velocities.reshape(-1),
+            res.bg[-1], res.ba[-1]]))
+        n_pose = Kw * 16
+        if not np.all(np.isfinite(flat[:n_pose + 3 * Kw])):
             return
         # write back
         kf_pose_ext = jnp.concatenate([m.kf_pose, jnp.zeros((1, 4, 4))], 0)
@@ -435,12 +448,14 @@ class MonoInertialSlam(MonoSlam):
         mp_pos = mp_ext.at[jnp.where(pt_ok, uniq, m.max_mp)].set(
             res.points)[:m.max_mp]
         self.m = m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
-        self.kf_velocity[slots] = np.asarray(res.velocities)
-        self.bg = np.asarray(res.bg[-1])
-        self.ba_bias = np.asarray(res.ba[-1])
+        self.kf_velocity[slots] = \
+            flat[n_pose:n_pose + 3 * Kw].reshape(Kw, 3)
+        self.bg = flat[n_pose + 3 * Kw:n_pose + 3 * Kw + 3].astype(
+            np.float32)
+        self.ba_bias = flat[n_pose + 3 * Kw + 3:].astype(np.float32)
         self.v_cur = self.kf_velocity[k_last]
         self._v_fresh = True
-        self.T_cur = np.array(self.m.kf_pose[k_last])
+        self.T_cur = flat[:n_pose].reshape(Kw, 4, 4)[-1].astype(np.float32)
         # refresh the VI anchor with the BA-refined state
         if self._prev_state is not None:
             self._prev_state = (self.T_cur.copy(), self.v_cur.copy(),

@@ -55,6 +55,41 @@ class StereoSlam(MonoSlam):
         return self._process_with_depth(featsL, timestamp)
 
     # ------------------------------------------------------------------
+    def process_frame_stereo_pipelined(self, img_left, img_right,
+                                       timestamp: float) -> TrackState:
+        """Pipelined stereo loop (see MonoSlam.process_frame_pipelined):
+        dispatch this stereo frame's fused extract+match+track, finalize
+        the previous frame's state machine while it computes."""
+        from multi_orbslam3_tpu.pipeline import tracking
+        if self.state != TrackState.OK and not self._pipe:
+            return self.process_frame_stereo(img_left, img_right, timestamp)
+        ts = self._rel_ts(timestamp)
+        il = self.to_device(img_left)
+        ir = self.to_device(img_right)
+        self.frame_id += 1
+        self._adopt_pending()
+        if self._T_cur_dev is None:
+            self._T_cur_dev = jnp.asarray(self.T_cur)
+            self._T_vel_dev = jnp.asarray(self.T_vel)
+        step = tracking._fused_step_stereo_chained(self.cfg)
+        feats, sd, res, pose_dev, tvel_dev = step(
+            self.m, il, ir, self._T_cur_dev, self._T_vel_dev)
+        try:
+            res.packed.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        self._pipe.append((feats, res, ts, sd))
+        self._T_cur_dev, self._T_vel_dev = pose_dev, tvel_dev
+        while len(self._pipe) > self.pipeline_depth:
+            self._finalize_frame(*self._pipe.pop(0))
+        return self.state
+
+    def _finalize_frame(self, feats, res, ts, sd=None):
+        if sd is not None:
+            self._cur_depth = sd     # _frame_ur/_seed_depth_points source
+        super()._finalize_frame(feats, res, ts)
+
+    # ------------------------------------------------------------------
     def _frame_ur(self):
         """Stereo right-u of the current frame — activates the third
         residual row in pose optimization and local BA (reference stereo
@@ -79,6 +114,7 @@ class StereoSlam(MonoSlam):
             self._track(feats, timestamp)
             self._post_track(timestamp)
         self.trajectory.append((timestamp, np.asarray(self.T_cur)))
+        self.frame_log.append((timestamp, self.state))
         return self.state
 
     # ------------------------------------------------------------------
@@ -122,9 +158,9 @@ class StereoSlam(MonoSlam):
         free = self.m.kf_feat_valid[k] & (self.m.kf_mp[k] == ms.NO_MP)
         close = sd.valid & free & (sd.depth > 0.1) & \
             (sd.depth < self._depth_th)
-        n_new = int(jnp.sum(close))
-        if n_new == 0:
-            return
+        # no host gate on the count: an all-false mask is a harmless
+        # no-op dispatch, and the extra scalar fetch cost a full tunnel
+        # round-trip (~25 ms) on every keyframe
         T = jnp.asarray(self.T_cur)
         bearing = cam.unproject(self.K, self.m.kf_uv[k])
         p_cam = bearing * sd.depth[:, None]

@@ -380,7 +380,11 @@ class MonoSlam:
             # PoseInertialOptimizationLastFrame, src/Optimizer.cc:7998)
             res2 = self._refine_pose(feats, res)
             if res2 is not res:
-                res, pose_np = res2, None
+                # the hook may leave the host pose it already fetched
+                # (saves a tunnel round-trip re-reading res.pose)
+                res = res2
+                pose_np = getattr(self, "_refined_pose_np", None)
+                self._refined_pose_np = None
             T_new = pose_np if pose_np is not None else np.asarray(res.pose)
             self.T_vel = (T_new @ np.linalg.inv(self.T_cur)).astype(np.float32)
             self.T_cur = T_new

@@ -228,6 +228,45 @@ def _fused_step_chained(config):
     return step
 
 
+@functools.lru_cache(maxsize=8)
+def _fused_step_stereo_chained(config):
+    """Stereo twin of _fused_step_chained: both extractions + the
+    per-feature stereo match + guided tracking with stereo residuals in
+    ONE program, prediction chain on device (reference GrabImageStereo →
+    Track, src/Tracking.cc:1014)."""
+    from multi_orbslam3_tpu.frontend import extractor as _ex
+    from multi_orbslam3_tpu.frontend import stereo as _st
+
+    c = config
+    bf = jnp.float32(c.camera.baseline * c.camera.fx)
+
+    @jax.jit
+    def step(m, img_l, img_r, T_cur, T_vel):
+        T_pred = (T_vel @ T_cur).astype(jnp.float32)
+        feats = _ex.extract_features(img_l.astype(jnp.float32), c)
+        feats_r = _ex.extract_features(img_r.astype(jnp.float32), c)
+        sd = _st.stereo_match(feats, feats_r, bf)
+        K = cam.intrinsics_from_config(c.camera)
+        res = track_frame(
+            m, feats, T_pred, K, width=c.camera.width,
+            height=c.camera.height, scale_factor=c.orb.scale_factor,
+            n_levels=c.orb.n_levels,
+            radius_coarse=c.tracking.search_radius,
+            u_r=sd.u_right, bf=bf)
+        ok = res.n_inliers >= c.tracking.min_matches_refkf
+        pose = jnp.where(ok, res.pose, T_pred)
+        T_vel_new = jnp.where(ok, res.pose @ jnp.linalg.inv(T_cur), T_vel)
+        packed = jnp.concatenate([
+            pose.reshape(-1).astype(jnp.float32),
+            jnp.stack([res.n_inliers.astype(jnp.float32),
+                       res.n_matches.astype(jnp.float32)]),
+            T_pred.reshape(-1).astype(jnp.float32)])
+        res = res._replace(pose=pose, packed=packed)
+        return feats, sd, res, pose, T_vel_new
+
+    return step
+
+
 def extract_and_track(m: MapState, img: jnp.ndarray, T_pred: jnp.ndarray,
                       config) -> tuple:
     """Fused per-frame step: ORB extraction + two-round guided tracking +
