@@ -67,6 +67,9 @@ class AgentBook:
     closest_kf: int = -1
     streak_cand: int = -1
     streak: int = 0
+    # Sim3-continuity retry state (DetectAndReffineSim3FromLastKF analog)
+    pending_cand: int = -1
+    pending_tries: int = 0
     pending: List[bytes] = dataclasses.field(default_factory=list)
     dirty_kfs: List[int] = dataclasses.field(default_factory=list)
     erased_out: List[int] = dataclasses.field(default_factory=list)
@@ -644,7 +647,11 @@ class CollabServer:
                     < self.cfg.loop.event_interval_kfs:
                 continue
             covis = ms.covisibility_row(self.m, jnp.int32(kf_slot))
-            exclude = np.array(covis) > 0
+            # connected-group exclusion at the reference's weight-15
+            # threshold (any-shared-landmark exclusion suppressed every
+            # revisit: guided tracking re-associates a handful of old
+            # landmarks as soon as the overlap begins)
+            exclude = np.array(covis) >= 15
             exclude[kf_slot] = True
             # exclude this agent's most recent KFs (temporally adjacent)
             own_recent = (self.kf_local >= 0) & \
@@ -657,7 +664,15 @@ class CollabServer:
                                jnp.asarray(exclude))
             scores_np = np.array(scores)
             best = int(np.argmax(scores_np))
-            if float(scores_np[best]) < 0.03:
+            # Sim3 continuity (reference DetectAndReffineSim3FromLastKF,
+            # src/LoopClosing.cc:523): a candidate that survived Sim3
+            # RANSAC on a previous KF but missed the projection gate is
+            # retried directly, without a fresh BoW streak
+            pending = getattr(book, "pending_cand", -1)
+            if pending >= 0 and not valid_np[pending]:
+                pending = -1
+                book.pending_cand = -1
+            if float(scores_np[best]) < 0.03 and pending < 0:
                 book.streak = 0
                 book.streak_cand = -1
                 continue
@@ -677,13 +692,24 @@ class CollabServer:
             else:
                 book.streak = 1
             book.streak_cand = best
-            if book.streak < self.cfg.loop.consistency_hits:
+            if book.streak < self.cfg.loop.consistency_hits \
+                    and pending < 0:
                 continue
 
             # verification cascade over the N best candidate groups
             # (reference DetectNBestCandidates + DetectCommonRegionsFromBoW)
-            cands = loop_closing.nbest_candidates(
-                self.m, scores_np, n_best=self.cfg.loop.n_candidates)
+            if book.streak >= self.cfg.loop.consistency_hits:
+                cands = loop_closing.nbest_candidates(
+                    self.m, scores_np, n_best=self.cfg.loop.n_candidates)
+            else:
+                cands = []
+            if pending >= 0:
+                # continuity retry goes first; drop it when exhausted
+                cands = [(pending, float("inf"), None)] + \
+                    [c for c in cands if c[0] != pending]
+                book.pending_tries = getattr(book, "pending_tries", 1) - 1
+                if book.pending_tries <= 0:
+                    book.pending_cand = -1
             accepted = False
             for cand_kf, _, _ in cands:
                 # candidate-side maturity (same reference gate)
@@ -700,7 +726,14 @@ class CollabServer:
                     n_levels=self.cfg.orb.n_levels,
                     min_proj_matches=self.cfg.loop.min_proj_matches)
                 if not casc.ok:
+                    if casc.S is not None and \
+                            getattr(book, "pending_cand", -1) < 0:
+                        # RANSAC passed, projection short: retry this
+                        # candidate on the next keyframes (continuity)
+                        book.pending_cand = cand_kf
+                        book.pending_tries = 3
                     continue
+                book.pending_cand = -1
                 S_corr, lm, inliers = casc.S, casc.lm, casc.inliers
                 best = cand_kf
                 cand_agent = int(self.m.kf_agent[best])

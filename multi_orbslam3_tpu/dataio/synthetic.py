@@ -162,7 +162,8 @@ def make_sequence(config, n_frames: int = 60, n_points: int = 600,
                   seed: int = 0, trajectory: str = "forward",
                   phase: float = 0.0, imu: bool = False,
                   fps: float = 20.0, lateral: float = 0.4,
-                  sway_freq: float = 0.08) -> SyntheticSequence:
+                  sway_freq: float = 0.08,
+                  arc: float = 1.5 * np.pi) -> SyntheticSequence:
     cam = config.camera
     K = _intrinsics(cam)
     points, patches = make_world(n_points, seed)
@@ -170,7 +171,8 @@ def make_sequence(config, n_frames: int = 60, n_points: int = 600,
         T_cw = forward_trajectory(n_frames, phase=phase, lateral=lateral,
                                   sway_freq=sway_freq)
     elif trajectory == "circle":
-        T_cw = circular_trajectory(n_frames, phase=phase)
+        # arc > 2*pi produces self-overlap (loop-closure drills)
+        T_cw = circular_trajectory(n_frames, phase=phase, arc=arc)
     else:
         raise ValueError(trajectory)
     rng = np.random.RandomState(seed + 1)

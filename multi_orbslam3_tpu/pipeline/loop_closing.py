@@ -348,7 +348,12 @@ def _pr_step(db, voc, m: MapState, kf):
     desc = m.kf_desc[kf]
     fvalid = m.kf_feat_valid[kf]
     covis = ms.covisibility_row(m, kf)
-    exclude = (covis > 0) | (jnp.arange(m.max_kf) == kf)
+    # exclusion matches the reference's CONNECTED group (weight >= 15,
+    # KeyFrame::GetConnectedKeyFrames / DetectNBestCandidates) — an
+    # any-shared-landmark exclusion suppressed every revisit candidate,
+    # because whole-map guided tracking re-associates a few old
+    # landmarks the moment a revisit begins
+    exclude = (covis >= 15) | (jnp.arange(m.max_kf) == kf)
     scores = dbm.query(db, voc, desc, fvalid, exclude)
     db2, _ = dbm.add_keyframe_bow(db, voc, kf, desc, fvalid)
     return scores, db2
@@ -371,24 +376,68 @@ class LoopCloser:
         self._last_loop_kf = -10**9
         self._key = jax.random.PRNGKey(1234)
         self.loops_closed = 0
+        # Sim3 continuity (reference DetectAndReffineSim3FromLastKF /
+        # DetectCommonRegionsFromLastKF, src/LoopClosing.cc:523,856): a
+        # candidate that survived Sim3 RANSAC but missed the projection
+        # gate is retried DIRECTLY on the next keyframes — closer to the
+        # revisit the projection count grows — instead of restarting the
+        # BoW streak from zero every keyframe.
+        self._pending_cand = -1
+        self._pending_tries = 0
 
     def on_keyframe(self, m: MapState, kf: int,
                     fix_scale: bool = False, yaw_only: bool = False,
                     K: Optional[cam.PinholeK] = None,
                     width: int = 0, height: int = 0,
                     scale_factor: float = 1.2, n_levels: int = 8,
-                    min_proj_matches: int = 25) -> MapState:
+                    min_proj_matches: int = 25,
+                    active_map_kfs: Optional[int] = None) -> MapState:
         """Process a freshly inserted keyframe: N-best grouped candidates,
         temporal consistency, full verification cascade, correction +
-        welding BA. Returns the (possibly corrected) map."""
+        welding BA. Returns the (possibly corrected) map.
+
+        active_map_kfs: keyframe count of the ACTIVE map, when the
+        caller tracks it — maps below 12 KFs only register in the
+        database, they never hunt (the reference skips detection for
+        <12-KF maps, src/LoopClosing.cc:270+; an immature-map merge
+        fits its Sim3 on a handful of noisy landmarks and welds the
+        Atlas at a permanently bent seam)."""
         kf_j = jnp.int32(kf)
         # fused: covisibility exclusion + shared-db query + insert
         # (reference excludes the connected group,
         # KeyFrameDatabase::DetectNBestCandidates)
         scores, self.db = _pr_step(self.db, self.voc, m, kf_j)
+        if active_map_kfs is not None and active_map_kfs < 12:
+            self._streak = 0
+            self._streak_cand = -1
+            return m
         scores_np = np.array(scores)
+        # temporal-adjacency guard (slots are insertion-ordered for a
+        # single client): the most recent keyframes always score high
+        # and are never loops (the server path excludes own-recent too)
+        scores_np[max(0, kf - 10):kf + 1] = 0.0
         best = int(np.argmax(scores_np))
         best_score = float(scores_np[best])
+
+        # continuity retry: re-verify last KF's near-miss candidate
+        # without waiting for a fresh BoW streak
+        if self._pending_cand >= 0 and K is not None and \
+                kf - self._last_loop_kf >= self.min_interval_kfs:
+            cand_kf = self._pending_cand
+            self._key, sub = jax.random.split(self._key)
+            casc = verify_candidate_cascade(
+                m, kf, cand_kf, sub, K, width=width, height=height,
+                scale_factor=scale_factor, n_levels=n_levels,
+                fix_scale=fix_scale, min_proj_matches=min_proj_matches)
+            if casc.ok:
+                self._pending_cand = -1
+                return self._accept(m, kf, cand_kf, casc.S, casc.lm,
+                                    casc.inliers, True, K, width, height,
+                                    scale_factor, n_levels, fix_scale,
+                                    yaw_only)
+            self._pending_tries -= 1
+            if self._pending_tries <= 0:
+                self._pending_cand = -1
 
         if kf - self._last_loop_kf < self.min_interval_kfs or \
                 best_score < self.min_score:
@@ -426,6 +475,11 @@ class LoopCloser:
                     fix_scale=fix_scale,
                     min_proj_matches=min_proj_matches)
                 if not casc.ok:
+                    if casc.S is not None and self._pending_cand < 0:
+                        # Sim3 RANSAC passed, projection count short:
+                        # retry this candidate on the next keyframes
+                        self._pending_cand = cand_kf
+                        self._pending_tries = 3
                     continue
                 S_corr, lm, inliers = casc.S, casc.lm, casc.inliers
             else:
@@ -434,35 +488,47 @@ class LoopCloser:
                 if not bool(res.ok):
                     continue
                 S_corr, inliers = res.S, res.inliers
+            self._pending_cand = -1
+            return self._accept(m, kf, cand_kf, S_corr, lm, inliers,
+                                use_cascade, K, width, height,
+                                scale_factor, n_levels, fix_scale,
+                                yaw_only)
+        return m
 
-            # candidate in another sub-map => Atlas merge: weld the active
-            # sub-map into the candidate's map before distributing the
-            # correction (reference LoopClosing::MergeLocal,
-            # LoopClosing.cc:1316)
-            cand_map = int(m.kf_map_id[cand_kf])
-            cand_j = jnp.int32(cand_kf)
-            if cand_map != int(m.active_map):
-                m = ms.merge_active_into(m, cand_map, S_corr)
-                self.merges = getattr(self, "merges", 0) + 1
-                # residual error is distributed by the pose graph below
-                # with an identity loop constraint (maps already aligned)
-                m = correct_loop(m, kf_j, cand_j, sim3.identity(),
-                                 fix_scale=fix_scale, yaw_only=yaw_only)
-            else:
-                m = correct_loop(m, kf_j, cand_j, S_corr,
-                                 fix_scale=fix_scale, yaw_only=yaw_only)
-            # fuse duplicate landmarks along the verified correspondences
-            cur = jnp.where(lm.valid & inliers, lm.cur_mp, -1)
-            cand = jnp.where(lm.valid & inliers, lm.cand_mp, -1)
-            m = ms.replace_mappoint(m, cur, cand)
-            if use_cascade:
-                # welding BA over the seam (Merge*BA analog)
-                m = weld_after_merge(m, kf, K, width=width, height=height,
-                                     scale_factor=scale_factor,
-                                     n_levels=n_levels)
-            self._last_loop_kf = kf
-            self._streak = 0
-            self._streak_cand = -1
-            self.loops_closed += 1
-            return m
+    def _accept(self, m: MapState, kf: int, cand_kf: int, S_corr, lm,
+                inliers, use_cascade: bool, K, width: int, height: int,
+                scale_factor: float, n_levels: int, fix_scale: bool,
+                yaw_only: bool) -> MapState:
+        """Accepted loop/merge: Atlas merge if cross-map, essential-graph
+        correction, duplicate fusion, welding BA."""
+        kf_j = jnp.int32(kf)
+        # candidate in another sub-map => Atlas merge: weld the active
+        # sub-map into the candidate's map before distributing the
+        # correction (reference LoopClosing::MergeLocal,
+        # LoopClosing.cc:1316)
+        cand_map = int(m.kf_map_id[cand_kf])
+        cand_j = jnp.int32(cand_kf)
+        if cand_map != int(m.active_map):
+            m = ms.merge_active_into(m, cand_map, S_corr)
+            self.merges = getattr(self, "merges", 0) + 1
+            # residual error is distributed by the pose graph below
+            # with an identity loop constraint (maps already aligned)
+            m = correct_loop(m, kf_j, cand_j, sim3.identity(),
+                             fix_scale=fix_scale, yaw_only=yaw_only)
+        else:
+            m = correct_loop(m, kf_j, cand_j, S_corr,
+                             fix_scale=fix_scale, yaw_only=yaw_only)
+        # fuse duplicate landmarks along the verified correspondences
+        cur = jnp.where(lm.valid & inliers, lm.cur_mp, -1)
+        cand = jnp.where(lm.valid & inliers, lm.cand_mp, -1)
+        m = ms.replace_mappoint(m, cur, cand)
+        if use_cascade:
+            # welding BA over the seam (Merge*BA analog)
+            m = weld_after_merge(m, kf, K, width=width, height=height,
+                                 scale_factor=scale_factor,
+                                 n_levels=n_levels)
+        self._last_loop_kf = kf
+        self._streak = 0
+        self._streak_cand = -1
+        self.loops_closed += 1
         return m

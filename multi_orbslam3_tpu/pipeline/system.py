@@ -89,6 +89,10 @@ class MonoSlam:
         # reference runs LocalMapping as a free thread; here JAX's async
         # dispatch plays that role and the host state machine polls)
         self._pending_map = None     # (future MapState, kf slot, scalars)
+        # False forces synchronous mapping adoption everywhere —
+        # deterministic behavior for drills/tests (async adoption timing
+        # otherwise shapes which landmarks exist when)
+        self.defer_mapping = True
         # pipelined frame loop (process_frame_pipelined): in-flight
         # (feats, res, ts) + the device-resident prediction chain
         self._pipe: List[tuple] = []
@@ -310,6 +314,7 @@ class MonoSlam:
         self.T_vel = np.eye(4, dtype=np.float32)
         self.ref_kf = int(k1)
         self.frames_since_kf = 0
+        self._active_map_kfs = 2
         self.state = TrackState.OK
         self.stats["kf_inserted"] += 2
         self.stats["mp_created"] += int(jnp.sum(slots >= 0))
@@ -445,6 +450,7 @@ class MonoSlam:
         self.state = TrackState.NOT_INITIALIZED
         self._init_feats = None
         self.lost_count = 0
+        self._active_map_kfs = 0
         self.T_vel = np.eye(4, dtype=np.float32)
         self.stats["maps_created"] = self.stats.get("maps_created", 0) + 1
 
@@ -456,6 +462,7 @@ class MonoSlam:
         self.state = TrackState.NOT_INITIALIZED
         self._init_feats = None
         self.lost_count = 0
+        self._active_map_kfs = 0
         self.T_vel = np.eye(4, dtype=np.float32)
         self.stats["map_resets"] = self.stats.get("map_resets", 0) + 1
 
@@ -571,7 +578,14 @@ class MonoSlam:
             return
         self.m = m
         self._seed_depth_points(k, feats)
-        self._dispatch_mapping(k)
+        # an IMMATURE active map must adopt its mapping results
+        # synchronously: deferred adoption is timing-dependent (device
+        # readiness), and a young map whose triangulations lag a few
+        # frames starves tracking of landmarks and collapses into a
+        # reset loop. Mature maps keep the fully-async overlap.
+        self._active_map_kfs = getattr(self, "_active_map_kfs", 0) + 1
+        self._dispatch_mapping(k, defer=self.defer_mapping
+                       and self._active_map_kfs > 10)
         self.T_cur = np.asarray(self.T_cur)
         self.ref_kf = k
         self.frames_since_kf = 0
@@ -624,7 +638,19 @@ class MonoSlam:
         self.stats["mp_fused"] = self.stats.get("mp_fused", 0) + \
             int(n_fused)
         if self.loop_closer is not None:
+            prev_loops = self.loop_closer.loops_closed
+            before = np.asarray(self.m.kf_pose[k])
             self.m = self._loop_close(k)
+            if self.loop_closer.loops_closed > prev_loops:
+                # a correction/merge moved the map under the live
+                # tracker: re-gauge T_cur through the corrected KF
+                # (T_cur' = T_cur o T_k^-1 o T_k') — without this,
+                # tracking keeps predicting in the dead gauge and
+                # rebuilds a parallel offset copy of known terrain
+                after = np.asarray(self.m.kf_pose[k])
+                T_rel = self.T_cur @ np.linalg.inv(before)
+                self.T_cur = (T_rel @ after).astype(np.float32)
+                self._T_cur_dev = None      # resync the device chain
         else:
             self.add_to_reloc_db(self.m, k)
 
@@ -646,7 +672,8 @@ class MonoSlam:
             yaw_only=self._yaw_only(), K=self.K,
             width=c.camera.width, height=c.camera.height,
             scale_factor=c.orb.scale_factor, n_levels=c.orb.n_levels,
-            min_proj_matches=c.loop.min_proj_matches)
+            min_proj_matches=c.loop.min_proj_matches,
+            active_map_kfs=getattr(self, "_active_map_kfs", None))
 
     # ------------------------------------------------------------------
     def keyframe_trajectory(self) -> List[Tuple[float, np.ndarray]]:
