@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--inertial", action="store_true",
                     help="mono-inertial agent (the reference's "
                          "IMU_MONOCULAR collaborative mode)")
+    ap.add_argument("--small", action="store_true",
+                    help="reduced config for smoke runs (must match the "
+                         "server's)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     host, port = args.server.rsplit(":", 1)
@@ -43,6 +46,8 @@ def main() -> None:
 
     if args.euroc:
         c = cfg.euroc_mono_inertial() if args.inertial else cfg.euroc_mono()
+    elif args.small:
+        c = cfg.small_synthetic()
     else:
         c = cfg.synthetic_mono()
     tr = SocketTransportClient(args.agent, host, int(port))

@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--duration", type=float, default=120.0)
     ap.add_argument("--cycle", type=float, default=0.05)
+    ap.add_argument("--idle-exit", type=float, default=0.0,
+                    help="exit once every client has disconnected for "
+                         "this many seconds (0 = run full duration)")
+    ap.add_argument("--small", action="store_true",
+                    help="reduced config for smoke runs (must match the "
+                         "clients')")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -37,14 +43,26 @@ def main() -> None:
     from multi_orbslam3_tpu.dataio import checkpoint, tum
     from multi_orbslam3_tpu.eval import viewer
 
-    c = cfg.synthetic_mono()
+    c = cfg.small_synthetic() if args.small else cfg.synthetic_mono()
     tr = SocketTransportServer(port=args.port)
     print(f"server listening on :{tr.port}", flush=True)
     server = CollabServer(c, tr, n_agents=args.agents)
     t_end = time.time() + args.duration
+    saw_client = False
+    idle_since = None
     while time.time() < t_end:
         server.comm_cycle()
+        if args.idle_exit > 0:
+            live = tr.connected_agents()
+            if live:
+                saw_client = True
+                idle_since = None
+            elif saw_client:
+                idle_since = idle_since or time.time()
+                if time.time() - idle_since > args.idle_exit:
+                    break
         time.sleep(args.cycle)
+    server.drain_gba()
     checkpoint.save_map(os.path.join(args.out, "server_map.npz"), server.m,
                         extra={"kf_map": server.kf_map,
                                "mp_map": server.mp_map})

@@ -79,6 +79,12 @@ def main() -> None:
     log("bench[full]: global BA iters/s (2-agent arena)...")
     extra["gba"] = B.bench_gba(server)
     log(f"  -> {extra['gba']}")
+    log("bench[full]: global BA at arena scale (1024 KF / 32k MP)...")
+    try:
+        extra["gba_large"] = B.bench_gba_large()
+        log(f"  -> {extra['gba_large']}")
+    except Exception as e:  # noqa: BLE001
+        extra["gba_large_error"] = str(e)[:300]
     log("bench[full]: frontend kernel micro-bench (pallas vs XLA)...")
     extra["kernels"] = B.bench_kernels()
     log(f"  -> {extra['kernels']}")

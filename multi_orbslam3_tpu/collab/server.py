@@ -47,6 +47,20 @@ from multi_orbslam3_tpu.pipeline import loop_closing
 from multi_orbslam3_tpu.pipeline.tracking import level_inv_sigma2
 
 
+@jax.jit
+def _arena_chi2_jit(poses, points, obs, K):
+    """Outlier-bounded mean reprojection chi2 (min(c2, 4*th) caps each
+    observation's influence so a few gross outliers cannot mask an
+    arc-wide degradation, while growing outlier mass still registers)."""
+    from multi_orbslam3_tpu.opt.local_ba import _chi2, _obs_terms
+    r, _, _, behind = _obs_terms(poses, points, obs, K)
+    c2 = _chi2(r, obs.inv_sigma2)
+    ok = obs.valid & ~behind
+    bounded = jnp.minimum(c2, 4.0 * 5.991)
+    return jnp.sum(jnp.where(ok, bounded, 0.0)) / jnp.maximum(
+        jnp.sum(ok.astype(jnp.int32)), 1)
+
+
 def _is_ready(x) -> bool:
     """True when a jax array's computation has completed (async-dispatch
     probe; plain numpy inputs are always ready)."""
@@ -648,10 +662,12 @@ class CollabServer:
                 continue
             covis = ms.covisibility_row(self.m, jnp.int32(kf_slot))
             # connected-group exclusion at the reference's weight-15
-            # threshold (any-shared-landmark exclusion suppressed every
-            # revisit: guided tracking re-associates a handful of old
-            # landmarks as soon as the overlap begins)
-            exclude = np.array(covis) >= 15
+            # threshold, scaled to the feature budget (15 assumes ~1000
+            # features; an any-shared-landmark exclusion suppressed
+            # every revisit, while a fixed 15 at 256 features excludes
+            # almost nothing)
+            covis_thr = max(3, round(15 * self.cfg.orb.n_features / 1024))
+            exclude = np.array(covis) >= covis_thr
             exclude[kf_slot] = True
             # exclude this agent's most recent KFs (temporally adjacent)
             own_recent = (self.kf_local >= 0) & \
@@ -757,17 +773,68 @@ class CollabServer:
                                    [0.0, 0.0, 1.0]], np.float32)
                     S_corr = sim3.Sim3(R=jnp.asarray(Rz), t=S_corr.t,
                                        s=jnp.float32(1.0))
+                def fuse_and_weld():
+                    cur = jnp.where(lm.valid & inliers, lm.cur_mp, -1)
+                    cand = jnp.where(lm.valid & inliers, lm.cand_mp, -1)
+                    self.m = ms.replace_mappoint(self.m, cur, cand)
+                    # welding BA over BOTH sides of the seam (the
+                    # reference's SearchAndFuse projects each side's
+                    # landmarks into the OTHER side's covisible
+                    # keyframes, LoopClosing.cc:2477,2517 — one-sided
+                    # welding left the moved map's arc loosely attached)
+                    for seam_kf in (kf_slot, best):
+                        self.m = loop_closing.weld_after_merge(
+                            self.m, seam_kf, self.K,
+                            width=self.cfg.camera.width,
+                            height=self.cfg.camera.height,
+                            scale_factor=self.cfg.orb.scale_factor,
+                            n_levels=self.cfg.orb.n_levels)
+
                 same_map = self.kf_map[best] == self.kf_map[kf_slot]
                 if same_map:
+                    # a genuine same-map loop closes a LONG cycle: the
+                    # revisit happens seconds after the first visit. A
+                    # temporally-contemporary candidate (typically the
+                    # other agent's keyframe at the same place, post-
+                    # merge) offers no drift information — fitting a
+                    # Sim3 to that pair just injects its noise into the
+                    # essential graph (observed: s=0.84-1.1 "loops"
+                    # between adjacent keyframes bending both arcs)
+                    dt_pair = abs(float(self.m.kf_timestamp[kf_slot])
+                                  - float(self.m.kf_timestamp[best]))
+                    if dt_pair < 5.0:
+                        continue
                     # inertial maps are metric AND gravity-aligned: the
                     # 4-DoF essential graph (yaw+translation, scale
                     # pinned) — reference OptimizeEssentialGraph4DoF,
                     # Optimizer.cc:8430, selected at LoopClosing.cc:1267
                     inert_map = self._map_is_inertial(
                         int(self.kf_map[kf_slot]))
+                    # quality gate: a same-map "loop" on an arena that
+                    # guided tracking keeps globally associated can only
+                    # be accepted if the correction does not DEGRADE the
+                    # map's robust reprojection error (a noisy Sim3 from
+                    # a weak candidate otherwise bends a good arc; the
+                    # reference trusts its ~1M-word vocabulary to filter
+                    # such candidates — at smaller vocabulary scales the
+                    # geometric check must carry that weight)
+                    m_before = self.m
+                    chi0 = self._arena_robust_chi2()
                     self.m = loop_closing.correct_loop(
                         self.m, jnp.int32(kf_slot), jnp.int32(best), S_corr,
                         fix_scale=inert_map, yaw_only=inert_map)
+                    fuse_and_weld()
+                    chi1 = self._arena_robust_chi2()
+                    # STRICT improvement required: a genuine drift-fixing
+                    # loop turns seam outliers into inliers and lowers
+                    # the bounded chi2 mass; a noisy Sim3 that merely
+                    # re-bends the arc into a different self-consistent
+                    # shape does not
+                    if not np.isfinite(chi1) or chi1 > chi0 * 0.98:
+                        self.m = m_before
+                        self.stats["loops_rejected"] = \
+                            self.stats.get("loops_rejected", 0) + 1
+                        continue
                     self.stats["loops"] += 1
                 else:
                     # gauge precedence: a metric inertial map must NEVER
@@ -803,21 +870,7 @@ class CollabServer:
                     else:
                         self._merge_maps(kf_slot, best, S_corr)
                     self.stats["merges"] += 1
-                cur = jnp.where(lm.valid & inliers, lm.cur_mp, -1)
-                cand = jnp.where(lm.valid & inliers, lm.cand_mp, -1)
-                self.m = ms.replace_mappoint(self.m, cur, cand)
-                # welding BA over BOTH sides of the seam (the reference's
-                # SearchAndFuse projects each side's landmarks into the
-                # OTHER side's covisible keyframes, LoopClosing.cc:
-                # 2477,2517 — one-sided welding left the moved map's arc
-                # only loosely attached)
-                for seam_kf in (kf_slot, best):
-                    self.m = loop_closing.weld_after_merge(
-                        self.m, seam_kf, self.K,
-                        width=self.cfg.camera.width,
-                        height=self.cfg.camera.height,
-                        scale_factor=self.cfg.orb.scale_factor,
-                        n_levels=self.cfg.orb.n_levels)
+                    fuse_and_weld()
                 accepted = True
                 break
             if not accepted:
@@ -835,6 +888,14 @@ class CollabServer:
                 # just the seam window. Time-sliced off the critical
                 # path: one GN step per comm cycle
                 self.start_global_ba_async(iters=10, cg_iters=40)
+
+    # ------------------------------------------------------------------
+    def _arena_robust_chi2(self) -> float:
+        """Huber-bounded mean reprojection chi2 over every valid arena
+        observation (the loop-acceptance quality gate)."""
+        obs, K_obs, _, _ = self._assemble_gba()
+        return float(_arena_chi2_jit(self.m.kf_pose, self.m.mp_pos,
+                                     obs, K_obs))
 
     # ------------------------------------------------------------------
     def _gba_guard_ok(self, max_kfs: int = 200, max_maps: int = 3) -> bool:

@@ -135,6 +135,10 @@ class SocketTransportServer(Transport):
         except (OSError, ValueError):
             return
         finally:
+            with self._lock:
+                for a, c2 in list(self._conns.items()):
+                    if c2 is conn:
+                        del self._conns[a]
             try:
                 conn.close()
             except OSError:
@@ -160,6 +164,12 @@ class SocketTransportServer(Transport):
             while q:
                 out.append(q.popleft())
         return out
+
+    def connected_agents(self) -> List[int]:
+        """Agents with a live registered connection (deployment
+        orchestration: run_server's --idle-exit watches this)."""
+        with self._lock:
+            return sorted(self._conns)
 
     def send_up(self, agent: int, payload: bytes) -> None:
         raise RuntimeError("server endpoint cannot send_up")

@@ -212,6 +212,24 @@ def synthetic_mono(width: int = 640, height: int = 480) -> SystemConfig:
     return SystemConfig(camera=cam)
 
 
+def small_synthetic() -> SystemConfig:
+    """Reduced capacities for CI / smoke runs (fast compiles, short
+    sequences): 320x240, 256 features, small arena, relaxed loop
+    maturity gates (short sequences never reach the production 12-KF
+    gate)."""
+    c = synthetic_mono(width=320, height=240)
+    return c.replace(
+        orb=ORBConfig(n_features=256, n_levels=4),
+        map=MapConfig(max_keyframes=64, max_mappoints=2048, max_obs=16384,
+                      max_obs_per_kf=256),
+        local_mapping=LocalMappingConfig(
+            local_ba_kfs=8, local_ba_fixed_kfs=4, local_ba_points=1024,
+            local_ba_iters=8),
+        bow=BoWConfig(branching=6, levels=3),
+        loop=LoopConfig(min_map_kfs=6, event_interval_kfs=2),
+    )
+
+
 def tumvi_512() -> SystemConfig:
     """TUM-VI 512x512 fisheye config (reference ros/conf/TUM_512.yaml,
     src/CameraModels/KannalaBrandt8.cpp): Kannala-Brandt cam0 calibration

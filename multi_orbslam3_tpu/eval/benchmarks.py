@@ -155,12 +155,31 @@ def bench_mono_inertial(n_frames: int = 90, seed: int = 7) -> Dict:
     out = {"fps": round(F / wall, 2), "frames": F, "wall_s": round(wall, 2),
            "imu_initialized": bool(slam.imu_initialized),
            "stats": dict(slam.stats)}
-    # the re-gauge at IMU init makes the pre/post segments different
-    # gauges; evaluate the post-init tail
-    skip = slam.stats.get("imu_init_frame", F // 2) + 2
-    acc = _ate_over_ok(slam.trajectory, states, seq.T_cw, skip_head=skip)
-    if acc:
-        out.update(acc)
+    # accuracy protocol: the FINAL map's keyframe trajectory (reference
+    # SaveKeyFrameTrajectoryEuRoC — evaluated after the run). The
+    # per-frame live log spans every mid-run re-gauge (first VI init,
+    # the 4 s VIBA2-analog refinement) and cannot be aligned as one
+    # rigid/similar set; keyframe poses all live in the final gauge.
+    kf_traj = slam.keyframe_trajectory()
+    init_ts = None
+    init_f = slam.stats.get("imu_init_frame")
+    if init_f is not None and init_f < F:
+        init_ts = float(seq.timestamps[init_f]) - float(seq.timestamps[0])
+    frames, poses = [], []
+    ts0 = float(seq.timestamps[0])
+    for t, T in kf_traj:
+        if init_ts is not None and t < init_ts:
+            continue                    # pre-init segment: visual gauge
+        fr = int(round((t - ts0) / (1.0 / c.camera.fps)))
+        if 0 <= fr < F:
+            frames.append(fr)
+            poses.append(T)
+    if len(frames) >= 8:
+        est = ate.camera_centers(np.stack(poses))
+        g = ate.camera_centers(seq.T_cw[frames])
+        span = float(np.linalg.norm(g.max(0) - g.min(0)))
+        out.update({"ate_rmse": round(ate.ate_rmse(est, g), 4),
+                    "span": round(span, 3), "kf_evaluated": len(frames)})
     return out
 
 
@@ -182,9 +201,14 @@ def bench_collab(n_agents: int = 2, n_frames: int = 150,
     # visibility for INITIALIZATION (standalone sweep: 45/150 frames OK
     # from phase 0.55 vs 148/150 from 1.1+); established maps traverse it
     # fine later in the arc
+    # arc > 2*pi: each agent's final ~15% of frames re-traverse its own
+    # start region, so same-map loop closures are geometrically possible
+    # (the r3 bench's 1.5*pi arc could never self-overlap — loops: 0 was
+    # structural, not a recall failure)
     seqs = [synthetic.make_sequence(c, n_frames=n_frames, n_points=1200,
                                     seed=seed, trajectory="circle",
-                                    phase=1.1 + 0.55 * a)
+                                    phase=1.1 + 0.55 * a,
+                                    arc=2.3 * np.pi)
             for a in range(n_agents)]
     passes = (False, True) if warmup else (True,)
     for timed in passes:
@@ -281,6 +305,42 @@ def bench_gba(server=None, iters: int = 40) -> Dict:
     n_obs = int(np.asarray(obs_valid).sum())
     return {"gba_iters_per_s": round(iters / wall, 2),
             "cg_iters": iters, "wall_s": round(wall, 3), "n_obs": n_obs}
+
+
+def bench_gba_large(n_kf: int = 1024, n_mp: int = 32768,
+                    n_feat: int = 256, iters: int = 4,
+                    cg_iters: int = 25) -> Dict:
+    """Global-BA at production arena scale (round-3 VERDICT Next #9):
+    >=1024 KFs / >=32k landmarks with realistic observation density,
+    reporting PCG iterations/s and device memory. The loop-correction
+    side has test_correct_loop_arena_scale; this is the GBA twin."""
+    import jax
+    from multi_orbslam3_tpu.eval.gba_scaling import make_server_arena
+    server = make_server_arena(n_kf=n_kf, n_mp=n_mp, n_feat=n_feat,
+                               n_agents=4)
+    n_obs = int(np.asarray((server.m.kf_mp >= 0)
+                           & server.m.kf_feat_valid).sum())
+    run = lambda: server.run_global_ba(  # noqa: E731
+        iters=iters, cg_iters=cg_iters, distributed=False)
+    run()                                           # compile
+    m0 = server.m
+    t0 = time.perf_counter()
+    run()
+    jax.block_until_ready(server.m.kf_pose)
+    np.asarray(server.m.kf_pose[0])                 # force full completion
+    wall = time.perf_counter() - t0
+    out = {"n_kf": n_kf, "n_mp": n_mp, "n_obs": n_obs,
+           "gba_iters_per_s": round(iters * cg_iters / wall, 2),
+           "wall_s": round(wall, 3)}
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            out["peak_bytes_in_use"] = int(stats.get(
+                "peak_bytes_in_use", 0))
+    except Exception:  # noqa: BLE001
+        pass
+    del m0
+    return out
 
 
 def bench_euroc(root: str, n_frames: int = 600) -> Optional[Dict]:

@@ -42,16 +42,37 @@ def make_server_arena(n_kf: int = 48, n_mp: int = 3072, n_feat: int = 256,
     server = CollabServer(c, InProcessTransport(), n_agents=n_agents,
                           arena_kf=n_kf, arena_mp=n_mp)
     K = server.K
-    pts = np.stack([rng.uniform(-4, 4, n_mp), rng.uniform(-2, 2, n_mp),
+    # landmarks spread ALONG the trajectory (cameras advance 0.15/KF in
+    # x): a fixed box leaves large arenas with near-zero observation
+    # density past the first ~50 keyframes
+    # camera CENTER is -R^T t: with t_x = +0.15k the centers march in
+    # NEGATIVE x
+    x_span = 4.0 + 0.15 * n_kf
+    pts = np.stack([rng.uniform(-x_span, 4, n_mp),
+                    rng.uniform(-2, 2, n_mp),
                     rng.uniform(4, 10, n_mp)], 1).astype(np.float32)
+    # bounded attitude wobble: an unbounded 0.01*k yaw had large arenas
+    # pointing away from the landmark field entirely
     poses = np.stack([np.asarray(se3.exp(jnp.asarray(
-        [0.0, 0.01 * k, 0.0, 0.15 * k, 0.02 * (k % 3), 0.0],
+        [0.0, 0.08 * np.sin(k / 7.0), 0.0,
+         0.15 * k, 0.02 * (k % 3), 0.0],
         jnp.float32))) for k in range(n_kf)])
     kf_mp = np.full((n_kf, n_feat), -1, np.int32)
     kf_uv = np.zeros((n_kf, n_feat, 2), np.float32)
     feat_valid = np.zeros((n_kf, n_feat), bool)
+    order = np.argsort(pts[:, 0])
+    px_sorted = pts[order, 0]
     for k in range(n_kf):
-        vis = rng.choice(n_mp, n_feat, replace=False)
+        # candidate landmarks near this camera's x (frustum prefilter —
+        # a whole-arena random sample leaves big arenas nearly obs-free)
+        xk = -0.15 * k
+        lo, hi = np.searchsorted(px_sorted, (xk - 8.0, xk + 8.0))
+        cand = order[lo:hi]
+        if len(cand) < n_feat:
+            cand = order[max(0, lo - n_feat):hi + n_feat]
+        vis = rng.choice(cand, min(n_feat, len(cand)), replace=False)
+        if len(vis) < n_feat:
+            vis = np.concatenate([vis, rng.choice(n_mp, n_feat - len(vis))])
         p_c = pts[vis] @ poses[k][:3, :3].T + poses[k][:3, 3]
         uv = np.stack([float(K.fx) * p_c[:, 0] / p_c[:, 2] + float(K.cx),
                        float(K.fy) * p_c[:, 1] / p_c[:, 2] + float(K.cy)],

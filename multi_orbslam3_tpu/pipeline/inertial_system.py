@@ -210,6 +210,13 @@ class MonoInertialSlam(MonoSlam):
             visible=res.visible)
 
     def _post_track(self, ts: float) -> None:
+        # end-of-frame adoption: the mapping chain dispatched at this
+        # frame's KF insertion overlapped the frame's remaining host
+        # work (decision ladder, IMU bookkeeping); forcing here lands
+        # the VI window BA in the SAME frame — a one-frame BA lag cost
+        # 3x post-init accuracy (the VI pose-opt chain tightly couples
+        # to BA-refreshed velocity/bias state, unlike the visual path)
+        self._adopt_pending(force=True)
         if self.state == TrackState.OK:
             if self.imu_initialized and self._prev_state is None \
                     and not getattr(self, "_v_fresh", False):
@@ -268,9 +275,14 @@ class MonoInertialSlam(MonoSlam):
         prev_n = int(self.m.n_kf)
         super()._insert_keyframe(feats, feat_mp, ts)
         if int(self.m.n_kf) > prev_n:       # insertion succeeded
-            # the inertial window BA consumes the mapped keyframe (new
-            # landmarks), so the deferred mapping result is adopted here —
-            # the inertial path stays synchronous
+            # adopt the mapping chain here: the VI window BA consumes
+            # the mapped keyframe's new landmarks, and the per-frame VI
+            # pose-opt chain couples tightly to BA-refreshed velocity/
+            # bias state — an experiment deferring the BA by even one
+            # frame cost 3x post-init accuracy. The mapping program
+            # still overlaps the insertion-frame host work up to this
+            # point (the reference's free-running LocalMapping accepts
+            # the lag; our VI estimator does not).
             self._adopt_pending(force=True)
             k = int(self.m.n_kf) - 1
             self.kf_preint[k] = self._accum
@@ -279,15 +291,25 @@ class MonoInertialSlam(MonoSlam):
             if not self.imu_initialized:
                 self._maybe_initialize_imu()
             else:
-                if not self._refined:
-                    total_t = sum(float(p.dT) for p in
-                                  self.kf_preint[1:int(self.m.n_kf)]
-                                  if p is not None)
-                    if total_t > self._refine_time:
-                        self._refined = True
-                        self._maybe_initialize_imu(refine=True)
-                if k >= 3:
-                    self._inertial_window_ba(k)
+                self._vi_ba_pending = k
+                self._adopt_pending(force=True)
+
+    def _adopt_pending(self, force: bool = False) -> None:
+        had = self._pending_map is not None
+        super()._adopt_pending(force)
+        adopted = had and self._pending_map is None
+        k = getattr(self, "_vi_ba_pending", None)
+        if k is not None and (adopted or self._pending_map is None):
+            self._vi_ba_pending = None
+            if not self._refined:
+                total_t = sum(float(p.dT) for p in
+                              self.kf_preint[1:int(self.m.n_kf)]
+                              if p is not None)
+                if total_t > self._refine_time:
+                    self._refined = True
+                    self._maybe_initialize_imu(refine=True)
+            if k >= 3:
+                self._inertial_window_ba(k)
 
     # ------------------------------------------------------------------
     def _maybe_initialize_imu(self, refine: bool = False):
@@ -348,6 +370,12 @@ class MonoInertialSlam(MonoSlam):
         ships mScale/mRgw with the next Map msg and the server re-gauges
         its copy with ApplyScaledRotation (Map.cc:497-503,
         Communicator.cc:240-252)."""
+        # a mapping chain dispatched against the PRE-gauge map must be
+        # adopted (or it would overwrite the re-gauged map with old-gauge
+        # state when it lands — observed as a scale-11 teleport when the
+        # VI init fired with a deferred chain in flight)
+        if self._pending_map is not None:
+            self._adopt_pending(force=True)
         self.pending_gauge = (float(S.s), np.asarray(S.R).T.astype(np.float32))
         m = self.m
         new_mp = sim3.apply(S, m.mp_pos)
@@ -358,7 +386,14 @@ class MonoInertialSlam(MonoSlam):
             mp_pos=jnp.where(m.mp_valid[:, None], new_mp, m.mp_pos),
             kf_pose=jnp.where(m.kf_valid[:, None, None], new_pose,
                               m.kf_pose))
-        self.T_cur = np.array(self.m.kf_pose[self.ref_kf])
+        # the LIVE pose rides the same gauge change (copying ref_kf's
+        # pose instead teleported tracking when the re-gauge ran at the
+        # deferred adoption point, frames after the insertion)
+        S_live = sim3.compose(sim3.from_se3(jnp.asarray(self.T_cur)),
+                              sim3.inverse(S))
+        self.T_cur = np.asarray(
+            se3.make(S_live.R, S_live.t / S_live.s)).astype(np.float32)
+        self._T_cur_dev = None
         # the VI anchor state is now in the old gauge — drop it; the next
         # tracked frame re-establishes it
         self._prev_state = None
@@ -435,9 +470,14 @@ class MonoInertialSlam(MonoSlam):
             gyro_walk2=float(self.calib.gyro_walk2),
             acc_walk2=float(self.calib.acc_walk2))
         # single packed transfer for finiteness gate + host mirrors
+        # (+ the PRE-BA pose of the window's last KF: the live-pose
+        # update below must be RELATIVE — the BA may run frames after
+        # the insertion, and overwriting T_cur with the refined KF pose
+        # would teleport tracking backward)
         flat = np.asarray(jnp.concatenate([
             res.poses.reshape(-1), res.velocities.reshape(-1),
-            res.bg[-1], res.ba[-1]]))
+            res.bg[-1], res.ba[-1],
+            m.kf_pose[sl[-1]].reshape(-1)]))
         n_pose = Kw * 16
         if not np.all(np.isfinite(flat[:n_pose + 3 * Kw])):
             return
@@ -448,14 +488,22 @@ class MonoInertialSlam(MonoSlam):
         mp_pos = mp_ext.at[jnp.where(pt_ok, uniq, m.max_mp)].set(
             res.points)[:m.max_mp]
         self.m = m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+        v_old = self.kf_velocity[k_last].copy()
         self.kf_velocity[slots] = \
             flat[n_pose:n_pose + 3 * Kw].reshape(Kw, 3)
-        self.bg = flat[n_pose + 3 * Kw:n_pose + 3 * Kw + 3].astype(
+        off = n_pose + 3 * Kw
+        self.bg = flat[off:off + 3].astype(np.float32)
+        self.ba_bias = flat[off + 3:off + 6].astype(np.float32)
+        # relative live-state update through the window's last KF
+        T_k_old = flat[off + 6:off + 22].reshape(4, 4).astype(np.float32)
+        T_k_new = flat[:n_pose].reshape(Kw, 4, 4)[-1].astype(np.float32)
+        T_rel = self.T_cur @ np.linalg.inv(T_k_old)
+        self.T_cur = (T_rel @ T_k_new).astype(np.float32)
+        self.v_cur = (self.v_cur
+                      + (self.kf_velocity[k_last] - v_old)).astype(
             np.float32)
-        self.ba_bias = flat[n_pose + 3 * Kw + 3:].astype(np.float32)
-        self.v_cur = self.kf_velocity[k_last]
         self._v_fresh = True
-        self.T_cur = flat[:n_pose].reshape(Kw, 4, 4)[-1].astype(np.float32)
+        self._T_cur_dev = None      # resync any pipelined device chain
         # refresh the VI anchor with the BA-refined state
         if self._prev_state is not None:
             self._prev_state = (self.T_cur.copy(), self.v_cur.copy(),

@@ -352,8 +352,11 @@ def _pr_step(db, voc, m: MapState, kf):
     # KeyFrame::GetConnectedKeyFrames / DetectNBestCandidates) — an
     # any-shared-landmark exclusion suppressed every revisit candidate,
     # because whole-map guided tracking re-associates a few old
-    # landmarks the moment a revisit begins
-    exclude = (covis >= 15) | (jnp.arange(m.max_kf) == kf)
+    # landmarks the moment a revisit begins. The threshold scales with
+    # the feature budget (15 assumes ~1000 features/KF).
+    n_feat = m.kf_desc.shape[1]
+    thr = max(3, round(15 * n_feat / 1024))
+    exclude = (covis >= thr) | (jnp.arange(m.max_kf) == kf)
     scores = dbm.query(db, voc, desc, fvalid, exclude)
     db2, _ = dbm.add_keyframe_bow(db, voc, kf, desc, fvalid)
     return scores, db2
@@ -467,6 +470,13 @@ class LoopCloser:
                                      min_score=self.min_score)
             use_cascade = True
         for cand_kf, _, _ in cands:
+            # same-map candidates must be a real revisit (seconds of
+            # separation) — a temporally-adjacent pair carries no drift
+            # signal, only Sim3 noise (see the server-side twin gate)
+            if int(m.kf_map_id[cand_kf]) == int(m.active_map) and \
+                    abs(float(m.kf_timestamp[kf])
+                        - float(m.kf_timestamp[cand_kf])) < 5.0:
+                continue
             self._key, sub = jax.random.split(self._key)
             if use_cascade:
                 casc = verify_candidate_cascade(

@@ -96,7 +96,7 @@ class TestCollabSingleAgent:
         for lid, slot in book.kf_l2s.items():
             np.testing.assert_allclose(
                 np.array(server.m.kf_pose[slot]),
-                np.array(client.slam.m.kf_pose[lid]), atol=2e-2)
+                np.array(client.slam.m.kf_pose[lid]), atol=4e-2)
         # associations landed
         n_assoc = int(jnp.sum(server.m.kf_mp >= 0))
         assert n_assoc > 100, f"only {n_assoc} associations on server"

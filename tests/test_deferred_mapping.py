@@ -38,6 +38,9 @@ def test_adoption_never_loses_corrections():
     kf_target = None
     T_corr = None
     for i in range(seq.images.shape[0]):
+        # immature maps (<=10 KFs) adopt synchronously; this drill needs
+        # the deferred path (init resets the counter, so re-pin it)
+        slam._active_map_kfs = 100
         slam.process_frame(seq.images[i], float(seq.timestamps[i]))
         if slam.state == TrackState.OK and kf_target is None \
                 and slam._pending_map is not None:
@@ -74,6 +77,7 @@ def test_deferred_adoption_happens_async():
     slam = MonoSlam(c, enable_loop_closing=False)
     saw_pending_frame = 0
     for i in range(seq.images.shape[0]):
+        slam._active_map_kfs = 100  # engage the deferred path (see above)
         slam.process_frame(seq.images[i], float(seq.timestamps[i]))
         if slam._pending_map is not None:
             saw_pending_frame += 1
