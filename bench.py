@@ -85,6 +85,12 @@ def main() -> None:
         log(f"  -> {extra['gba_large']}")
     except Exception as e:  # noqa: BLE001
         extra["gba_large_error"] = str(e)[:300]
+    log("bench[full]: vocabulary selectivity (10k vs 100k words)...")
+    try:
+        extra["vocab"] = B.bench_vocab_selectivity()
+        log(f"  -> {extra['vocab']}")
+    except Exception as e:  # noqa: BLE001
+        extra["vocab_error"] = str(e)[:300]
     log("bench[full]: frontend kernel micro-bench (pallas vs XLA)...")
     extra["kernels"] = B.bench_kernels()
     log(f"  -> {extra['kernels']}")

@@ -343,6 +343,64 @@ def bench_gba_large(n_kf: int = 1024, n_mp: int = 32768,
     return out
 
 
+def bench_vocab_selectivity(n_worlds: int = 30, n_frames: int = 18,
+                            seed0: int = 500) -> Dict:
+    """Place-recognition selectivity: the bundled k10-L4 (10k words) vs
+    k10-L5 (100k words) vocabularies on HELD-OUT worlds (seeds disjoint
+    from the training corpus), at a multi-hundred-KF database size
+    (round-3 VERDICT Next #7). Protocol: store every even frame of
+    every world in one shared database; query with the odd frames; a
+    query's true match is a stored frame of the SAME world within 2
+    frames. Reports top-1 recall and the mean true/false score margin
+    per vocabulary."""
+    import jax.numpy as jnp
+    from multi_orbslam3_tpu.bow import database as dbm
+    from multi_orbslam3_tpu.bow import vocabulary as vocm
+    from multi_orbslam3_tpu.dataio import synthetic
+    from multi_orbslam3_tpu.frontend import extractor
+
+    c = cfg.synthetic_mono()
+    frames = []         # (world, frame_idx, desc, valid)
+    for w in range(n_worlds):
+        seq = synthetic.make_sequence(
+            c, n_frames=n_frames, n_points=700, seed=seed0 + w,
+            trajectory="circle" if w % 2 else "forward",
+            phase=0.25 * (w % 6))
+        for i in range(n_frames):
+            f = extractor.extract_features(
+                jnp.asarray(seq.images[i], jnp.float32), c)
+            frames.append((w, i, f.desc, f.valid))
+
+    out: Dict = {"db_size": 0}
+    for name, (b, L) in (("L4_10k", (10, 4)), ("L5_100k", (10, 5))):
+        voc = vocm.default_vocabulary(b, L)
+        stored = [(w, i, d, v) for (w, i, d, v) in frames if i % 2 == 0]
+        queries = [(w, i, d, v) for (w, i, d, v) in frames if i % 2 == 1]
+        db = dbm.KeyframeDatabase.empty(len(stored), voc.n_words)
+        meta = []
+        for slot, (w, i, d, v) in enumerate(stored):
+            db, _ = dbm.add_keyframe_bow(db, voc, jnp.int32(slot), d, v)
+            meta.append((w, i))
+        meta = np.asarray(meta)
+        hits, margins = 0, []
+        for (w, i, d, v) in queries:
+            scores = np.asarray(dbm.query(
+                db, voc, d, v, jnp.zeros(len(stored), bool)))
+            top = int(np.argmax(scores))
+            true_mask = (meta[:, 0] == w) & (np.abs(meta[:, 1] - i) <= 2)
+            if true_mask[top]:
+                hits += 1
+            best_true = float(scores[true_mask].max()) \
+                if true_mask.any() else 0.0
+            best_false = float(scores[~true_mask].max()) \
+                if (~true_mask).any() else 1e-9
+            margins.append(best_true / max(best_false, 1e-9))
+        out["db_size"] = len(stored)
+        out[name] = {"top1_recall": round(hits / len(queries), 3),
+                     "margin": round(float(np.mean(margins)), 3)}
+    return out
+
+
 def bench_euroc(root: str, n_frames: int = 600) -> Optional[Dict]:
     """EuRoC mono run when a dataset directory exists (ASL layout).
     Ground truth from mav0/state_groundtruth_estimate0/data.csv."""
