@@ -39,27 +39,40 @@ def main() -> None:
         print(msg, file=sys.stderr, flush=True)
 
     configs = {}
+
+    def emit():
+        # re-printed after every core config: the driver parses the LAST
+        # JSON line on stdout, so a timeout mid-config can no longer lose
+        # the configs that already finished (BENCH_r02/r03 both scored
+        # nothing because the single print sat after the slowest config).
+        fps = configs.get("mono", {}).get("fps", 0.0)
+        print(json.dumps({
+            "metric": "tracked_frames_per_s_per_chip",
+            "value": fps,
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 20.0, 3),
+            "configs": configs,
+        }), flush=True)
+
     log("bench: mono (full system, loop closing on)...")
     configs["mono"] = B.bench_mono()
     log(f"  -> {configs['mono']}")
+    emit()
     log("bench: stereo...")
     configs["stereo"] = B.bench_stereo()
     log(f"  -> {configs['stereo']}")
     log("bench: mono_inertial (EuRoC T_bc)...")
     configs["mono_inertial"] = B.bench_mono_inertial()
     log(f"  -> {configs['mono_inertial']}")
-    log("bench: collab 2-agent (150 frames, GBA on)...")
-    configs["collab_2agent"], server = B.bench_collab(n_agents=2)
+    emit()
+    log("bench: collab 2-agent (150 frames, GBA on, single pass)...")
+    # single pass: the two-pass warmup protocol doubled the slowest
+    # config and pushed the whole bench past the driver budget
+    # (BENCH_r03 rc=124); steady-state fps comes from the tail frames
+    configs["collab_2agent"], server = B.bench_collab(
+        n_agents=2, warmup=False)
     log(f"  -> {configs['collab_2agent']}")
-
-    fps = configs["mono"].get("fps", 0.0)
-    print(json.dumps({
-        "metric": "tracked_frames_per_s_per_chip",
-        "value": fps,
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 20.0, 3),
-        "configs": configs,
-    }), flush=True)
+    emit()
 
     if os.environ.get("MO3_BENCH_FULL") != "1":
         return

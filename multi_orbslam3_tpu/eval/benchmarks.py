@@ -217,8 +217,10 @@ def bench_collab(n_agents: int = 2, n_frames: int = 150,
         server = CollabServer(c, tr, n_agents=n_agents)
         states = [[] for _ in range(n_agents)]
         first_corr = [None] * n_agents
+        frame_t = []
         t0 = time.perf_counter()
         for i in range(n_frames):
+            ft0 = time.perf_counter()
             for a, cl in enumerate(clients):
                 states[a].append(cl.process_frame(
                     seqs[a].images[i], float(seqs[a].timestamps[i])))
@@ -227,10 +229,19 @@ def bench_collab(n_agents: int = 2, n_frames: int = 150,
                         cl.stats["corrections_applied"] > 0:
                     first_corr[a] = i
             server.comm_cycle()
+            frame_t.append(time.perf_counter() - ft0)
         server.drain_gba()      # adopt any time-sliced GBA still in flight
         wall = time.perf_counter() - t0
+    if warmup:
+        total_fps = n_agents * n_frames / wall
+    else:
+        # single-pass mode (driver budget): steady-state throughput from
+        # the tail frames — the first third carries the jit compiles that
+        # the two-pass protocol would have pushed into a warmup run
+        tail = frame_t[len(frame_t) // 3:]
+        total_fps = n_agents / max(float(np.mean(tail)), 1e-9)
     out = {"agents": n_agents, "frames": n_frames,
-           "total_fps": round(n_agents * n_frames / wall, 2),
+           "total_fps": round(total_fps, 2),
            "wall_s": round(wall, 2),
            "merges": server.stats["merges"], "loops": server.stats["loops"],
            "bytes_up_mb": round(tr.bytes_up / 2 ** 20, 1),
