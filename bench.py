@@ -8,8 +8,12 @@ results for the CORE configs:
 - mono / stereo / mono_inertial / collab_2agent: ATE RMSE (Sim3-aligned;
   SE3 for stereo) over OK-tracked frames of a synthetic ground-truth
   sequence, plus fps measured over the WHOLE pipeline (keyframe
-  insertion, triangulation, fusion, local BA, loop closing included —
-  two-pass protocol so compilation is excluded but mapping work is not).
+  insertion, triangulation, fusion, local BA, loop closing included).
+  mono/stereo/mono_inertial use the two-pass protocol (pass 1 warms the
+  XLA caches, pass 2 is timed). The collab configs run a SINGLE pass
+  inside the driver budget and report both fps definitions:
+  total_fps_wall (frames/wall incl. compiles) and total_fps_tail
+  (steady state over the tail two-thirds; collab's headline total_fps).
 
 The headline JSON is printed IMMEDIATELY after the core configs so a
 driver-side timeout can never lose the scored result (BENCH_r02/r03 both
@@ -61,6 +65,7 @@ def main() -> None:
     log("bench: stereo...")
     configs["stereo"] = B.bench_stereo()
     log(f"  -> {configs['stereo']}")
+    emit()
     log("bench: mono_inertial (EuRoC T_bc)...")
     configs["mono_inertial"] = B.bench_mono_inertial()
     log(f"  -> {configs['mono_inertial']}")

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,12 @@ class CollabClient:
         self._is_foreign_kf = np.zeros(config.map.max_keyframes, bool)
         self._is_foreign_mp = np.zeros(config.map.max_mappoints, bool)
         self._seq = 0
+        # cumulative server gauge applied to our frame ([s, R9, t3];
+        # identity at start) + the epoch it corresponds to — see
+        # protocol.MapDelta.gauge_down
+        self._gauge_applied = np.concatenate([
+            [1.0], np.eye(3).reshape(9), np.zeros(3)])
+        self._gauge_epoch_applied = 0
         # reliability: unacked deltas are retained and resent after a few
         # cycles without a cumulative ack (the reference's open-ack lists,
         # include/Communicator.h:162-165) — tolerates dropped/reordered
@@ -100,6 +107,17 @@ class CollabClient:
             return None
         m = self.slam.m
         comm = self.cfg.comm
+        # ONE batched device->host snapshot of everything this cycle
+        # reads (a network-attached accelerator costs a ~25 ms round
+        # trip per fetch; the previous field-by-field np.array() calls
+        # made the comm cycle round-trip-bound — the round-4 collab
+        # throughput bottleneck)
+        import jax
+        snap = jax.device_get(dict(
+            n_kf=m.n_kf, n_mp=m.n_mp, kf_pose=m.kf_pose,
+            kf_parent=m.kf_parent, kf_timestamp=m.kf_timestamp,
+            locked=m.kf_pose_locked, kf_mp=m.kf_mp,
+            mp_ref_kf=m.mp_ref_kf, mp_pos=m.mp_pos, mp_desc=m.mp_desc))
         # IMU-init gauge handoff (mScale/mRgw, Map.cc:497-503): the server
         # transforms its copy of our map; refresh the sent-pose mirrors so
         # the re-gauge itself emits no per-entity updates
@@ -108,11 +126,12 @@ class CollabClient:
         if gauge is not None:
             self.slam.pending_gauge = None
             self._sent_kf_pose[:self._sent_kf] = \
-                np.array(m.kf_pose[:self._sent_kf])
+                snap["kf_pose"][:self._sent_kf]
             self._sent_mp_pos[:self._sent_mp] = \
-                np.array(m.mp_pos[:self._sent_mp])
-        n_kf = int(m.n_kf)
-        n_mp = int(m.n_mp)
+                snap["mp_pos"][:self._sent_mp]
+        n_kf = int(snap["n_kf"])
+        n_mp = int(snap["n_mp"])
+        all_poses = snap["kf_pose"]
         kfs = kf_updates = mps = mp_updates = None
 
         # new OWN keyframes (foreign-ingested slots are skipped — they are
@@ -121,8 +140,14 @@ class CollabClient:
                    if not self._is_foreign_kf[i]][:comm.client_kf_bound]
         if own_new:
             ids = np.asarray(own_new, np.int64)
-            poses = np.array(m.kf_pose)[ids]
+            poses = all_poses[ids]
             B = len(own_new)
+            # per-feature payload rows: gathered ON DEVICE, one fetch
+            ids_d = jnp.asarray(ids)
+            rows = jax.device_get(dict(
+                uv=m.kf_uv[ids_d], desc=m.kf_desc[ids_d],
+                level=m.kf_level[ids_d], angle=m.kf_angle[ids_d],
+                fv=m.kf_feat_valid[ids_d]))
             # reference chain: previous OWN keyframes + spanning parent
             own_all = np.nonzero(~self._is_foreign_kf[:n_kf])[0]
             pos_in_own = np.searchsorted(own_all, ids)
@@ -130,19 +155,18 @@ class CollabClient:
                              own_all[np.maximum(pos_in_own - 1, 0)], -1)
             pred2 = np.where(pos_in_own >= 2,
                              own_all[np.maximum(pos_in_own - 2, 0)], -1)
-            parent = np.array(m.kf_parent)[ids]
+            parent = snap["kf_parent"][ids]
             parent = np.where((parent >= 0)
                               & ~self._is_foreign_kf[np.maximum(parent, 0)],
                               parent, -1)
             ref_ids = np.stack([pred1, pred2, parent], 1).astype(np.int32)
             T_rel = np.zeros((B, 3, 4, 4), np.float32)
-            all_poses = np.array(m.kf_pose)
             for b in range(B):
                 for r in range(3):
                     rid = ref_ids[b, r]
                     if rid >= 0:
                         T_rel[b, r] = poses[b] @ np.linalg.inv(all_poses[rid])
-            mp_local = np.array(m.kf_mp)[ids]
+            mp_local = snap["kf_mp"][ids]
             # strip associations to foreign landmarks (the server already
             # owns them under their original identity)
             mp_local = np.where(
@@ -166,14 +190,11 @@ class CollabClient:
                         self.slam.kf_velocity[int(lid)]
             kfs = protocol.KFPayload(
                 agent=self.agent, local_id=ids.astype(np.int32),
-                timestamp=np.array(m.kf_timestamp)[ids],
+                timestamp=snap["kf_timestamp"][ids],
                 ref_ids=ref_ids, T_rel=T_rel, T_abs=poses,
                 is_first=(ids == 0),
-                uv=np.array(m.kf_uv)[ids],
-                desc=np.array(m.kf_desc)[ids],
-                level=np.array(m.kf_level)[ids],
-                angle=np.array(m.kf_angle)[ids],
-                feat_valid=np.array(m.kf_feat_valid)[ids],
+                uv=rows["uv"], desc=rows["desc"], level=rows["level"],
+                angle=rows["angle"], feat_valid=rows["fv"],
                 mp_local=mp_local, imu=imu_rows)
             self._sent_kf_pose[ids] = poses
             new_kf_hi = int(ids[-1]) + 1 \
@@ -185,13 +206,12 @@ class CollabClient:
                       if not self._is_foreign_mp[i]][:comm.client_mp_bound]
         if own_mp_new:
             ids = np.asarray(own_mp_new, np.int64)
-            ref_kf = np.array(m.mp_ref_kf)[ids]
+            ref_kf = snap["mp_ref_kf"][ids]
             # a foreign reference KF has no sender-local id on the server
             ref_kf = np.where((ref_kf >= 0)
                               & ~self._is_foreign_kf[np.maximum(ref_kf, 0)],
                               ref_kf, -1)
-            pos_abs = np.array(m.mp_pos)[ids]
-            all_poses = np.array(m.kf_pose)
+            pos_abs = snap["mp_pos"][ids]
             ref_safe = np.maximum(ref_kf, 0)
             # position in reference-KF camera frame (relative encoding,
             # MP.msg mSendWithKF semantics)
@@ -202,7 +222,7 @@ class CollabClient:
                 agent=self.agent, local_id=ids.astype(np.int32),
                 ref_kf_local=ref_kf.astype(np.int32),
                 pos_rel=pos_rel.astype(np.float32), pos_abs=pos_abs,
-                desc=np.array(m.mp_desc)[ids])
+                desc=snap["mp_desc"][ids])
             self._sent_mp_pos[ids] = pos_abs
             new_mp_hi = int(ids[-1]) + 1 \
                 if len(own_mp_new) == comm.client_mp_bound else n_mp
@@ -211,10 +231,10 @@ class CollabClient:
 
         # pose updates for already-sent KFs whose pose moved (SendMe analog)
         if self._sent_kf > 0:
-            cur = np.array(m.kf_pose[:self._sent_kf])
+            cur = all_poses[:self._sent_kf]
             moved = np.abs(cur - self._sent_kf_pose[:self._sent_kf]) \
                 .reshape(self._sent_kf, -1).max(axis=1) > 1e-6
-            locked = np.array(m.kf_pose_locked[:self._sent_kf])
+            locked = snap["locked"][:self._sent_kf]
             moved = moved & ~locked     # never push back over a server lock
             if moved.any():
                 ids = np.nonzero(moved)[0].astype(np.int32)
@@ -224,17 +244,17 @@ class CollabClient:
                 # server's observation counts must follow (KFred.msg MP
                 # triplets; without this the server culls landmarks it
                 # believes under-observed)
-                rows = np.array(m.kf_mp)[ids]
-                rows = np.where(
-                    (rows >= 0) & self._is_foreign_mp[np.maximum(rows, 0)],
-                    -1, rows)
+                urows = snap["kf_mp"][ids]
+                urows = np.where(
+                    (urows >= 0) & self._is_foreign_mp[np.maximum(urows, 0)],
+                    -1, urows)
                 kf_updates = protocol.KFUpdatePayload(
                     agent=self.agent, local_id=ids, T_abs=cur[ids],
                     locked=np.zeros(len(ids), bool),
-                    mp_local=rows.astype(np.int32))
+                    mp_local=urows.astype(np.int32))
                 self._sent_kf_pose[ids] = cur[ids]
         if self._sent_mp > 0:
-            curp = np.array(m.mp_pos[:self._sent_mp])
+            curp = snap["mp_pos"][:self._sent_mp]
             movedp = np.abs(curp - self._sent_mp_pos[:self._sent_mp])\
                 .max(axis=1) > 1e-6
             movedp = movedp & ~self._is_foreign_mp[:self._sent_mp]
@@ -295,6 +315,10 @@ class CollabClient:
             if delta.ack_seq >= 0:
                 for seq in [s for s in self._outbox if s <= delta.ack_seq]:
                     del self._outbox[seq]
+            if delta.gauge_down is not None \
+                    and delta.gauge_epoch > self._gauge_epoch_applied:
+                self._apply_gauge_down(delta.gauge_down)
+                self._gauge_epoch_applied = delta.gauge_epoch
             m = self.slam.m
             if delta.kf_updates is not None:
                 ku = delta.kf_updates
@@ -326,6 +350,18 @@ class CollabClient:
                     if lid != self.slam.ref_kf and 0 <= lid < int(m.n_kf):
                         self._merge_preint_over(lid)
                         m = ms.erase_keyframe(m, jnp.int32(lid))
+            if delta.erased_mp is not None:
+                # server culled these landmarks of OURS: erase the local
+                # copy too — the server never re-corrects a culled
+                # landmark, so a surviving local copy would stay at the
+                # old gauge after the next re-gauging correction
+                slots = [int(l) for l in delta.erased_mp
+                         if 0 <= int(l) < int(m.n_mp)
+                         and not self._is_foreign_mp[int(l)]]
+                if slots:
+                    m = ms.erase_mappoints(m, jnp.asarray(slots, jnp.int32))
+                    self.stats["own_mp_erased"] = \
+                        self.stats.get("own_mp_erased", 0) + len(slots)
             # foreign-entity revocation: the server culled entities it
             # previously shipped here as vicinity content (reference
             # erasure flow covers all consumers, Communicator.cc:309-354)
@@ -355,50 +391,119 @@ class CollabClient:
             self._propagate_correction()
 
     # ------------------------------------------------------------------
+    def _apply_gauge_down(self, g_total: np.ndarray) -> None:
+        """Apply the server's EXACT cumulative merge gauge to our whole
+        frame (reference ClientHandler mg2oS_wcurmap_wclientmap,
+        src/ClientHandler.h:24). The remainder X = applied^-1 o total is
+        applied to every own entity, the live pose/velocity, and the
+        bookkeeping mirrors: poses T' = T o X, landmarks p' = X^-1(p).
+        Exact per-entity corrections in the same batch then overwrite
+        with the server's refined values."""
+        ga = self._gauge_applied
+        sa, Ra, ta = float(ga[0]), ga[1:10].reshape(3, 3), ga[10:13]
+        st_, Rt, tt = float(g_total[0]), \
+            np.asarray(g_total[1:10]).reshape(3, 3), \
+            np.asarray(g_total[10:13])
+        # X = inv(applied) o total
+        s = st_ / sa
+        R = Ra.T @ Rt
+        t = (Ra.T @ (tt - ta)) / sa
+        if abs(s - 1.0) < 1e-12 and np.allclose(R, np.eye(3), atol=1e-12) \
+                and np.allclose(t, 0.0, atol=1e-12):
+            self._gauge_applied = np.asarray(g_total, np.float64)
+            return
+        m = self.slam.m
+        n_kf, n_mp = int(m.n_kf), int(m.n_mp)
+        own_kf = np.zeros(m.kf_pose.shape[0], bool)
+        own_kf[:n_kf] = np.array(m.kf_valid[:n_kf])
+        own_kf &= ~self._is_foreign_kf
+        own_mp = np.zeros(m.mp_pos.shape[0], bool)
+        own_mp[:n_mp] = np.array(m.mp_valid[:n_mp])
+        own_mp &= ~self._is_foreign_mp
+
+        R32, t32 = R.astype(np.float32), t.astype(np.float32)
+        s32 = np.float32(s)
+
+        def xf_poses(P):    # T' = T o X  (Sim3 compose, scale folded)
+            Rc = P[..., :3, :3]
+            tc = P[..., :3, 3]
+            Rn = Rc @ R32
+            tn = (np.einsum("...ij,j->...i", Rc, t32) + tc) / s32
+            out = P.copy()
+            out[..., :3, :3] = Rn
+            out[..., :3, 3] = tn
+            return out
+
+        def xf_points(p):   # p' = X^-1(p) = (1/s) R^T (p - t)
+            return ((p - t32) @ R32) / s32
+
+        poses = np.array(m.kf_pose)
+        poses[own_kf] = xf_poses(poses[own_kf])
+        mp = np.array(m.mp_pos)
+        mp[own_mp] = xf_points(mp[own_mp])
+        # scale-invariance bands follow the world scale
+        upd = {"kf_pose": jnp.asarray(poses), "mp_pos": jnp.asarray(mp)}
+        if hasattr(m, "mp_min_dist"):
+            mn = np.array(m.mp_min_dist)
+            mx = np.array(m.mp_max_dist)
+            mn[own_mp] = mn[own_mp] / s32
+            mx[own_mp] = mx[own_mp] / s32
+            upd["mp_min_dist"] = jnp.asarray(mn)
+            upd["mp_max_dist"] = jnp.asarray(mx)
+        if hasattr(m, "mp_normal"):
+            nrm = np.array(m.mp_normal)
+            nrm[own_mp] = nrm[own_mp] @ R32     # n' = R^T n
+            upd["mp_normal"] = jnp.asarray(nrm)
+        self.slam.m = m._replace(**upd)
+        # live pose chain: right-multiplication leaves T_vel invariant
+        self.slam.T_cur = xf_poses(np.asarray(self.slam.T_cur)[None])[0] \
+            .astype(np.float32)
+        if getattr(self.slam, "_last_ok_T", None) is not None:
+            self.slam._last_ok_T = xf_poses(
+                np.asarray(self.slam._last_ok_T)[None])[0].astype(np.float32)
+        self.slam._T_cur_dev = None
+        if hasattr(self.slam, "v_cur"):
+            A = (R32.T / s32)
+            self.slam.v_cur = (A @ self.slam.v_cur).astype(np.float32)
+            self.slam.kf_velocity[:n_kf] = self.slam.kf_velocity[:n_kf] @ A.T
+            self.slam._prev_state = None
+            self.slam._v_fresh = True
+        # bookkeeping mirrors follow (the server's copies moved the same
+        # way, so no spurious kf/mp updates are uplinked next cycle)
+        sent_kf = np.zeros_like(own_kf)
+        sent_kf[:self._sent_kf] = own_kf[:self._sent_kf]
+        self._sent_kf_pose[sent_kf] = xf_poses(self._sent_kf_pose[sent_kf])
+        sent_mp = np.zeros_like(own_mp)
+        sent_mp[:self._sent_mp] = own_mp[:self._sent_mp]
+        self._sent_mp_pos[sent_mp] = xf_points(self._sent_mp_pos[sent_mp])
+        # the pre-batch snapshot feeds _propagate_correction: transform it
+        # too so the Umeyama fit sees only the server's residual refinement
+        if getattr(self, "_old_poses", None) is not None:
+            self._old_poses[own_kf] = xf_poses(self._old_poses[own_kf])
+        self._gauge_applied = np.asarray(g_total, np.float64)
+        self.stats["gauges_applied"] = \
+            self.stats.get("gauges_applied", 0) + 1
+
+    # ------------------------------------------------------------------
     def _propagate_correction(self) -> None:
-        """Estimate the world-gauge change implied by this batch of
-        corrected keyframes (similarity from old to new camera centers)
-        and apply it to everything the server did NOT correct: unlocked
-        fresh keyframes, landmarks the server doesn't know yet, and the
-        live pose/velocity. Keeps the client's frame consistent through
-        merges that re-gauge (incl. scale) its map."""
-        from multi_orbslam3_tpu.eval.ate import umeyama_align
-        corr = sorted(self._corrected_now)
+        """Propagate this batch of exact server corrections to everything
+        the server did NOT correct, by RELATIVE chaining through each
+        entity's nearest corrected keyframe — the reference's
+        spanning-tree propagation of GBA/loop results to entities created
+        meanwhile (mTcwBefGBA bookkeeping, src/LoopClosing.cc:2731-2790):
+        T_k' = T_k o T_anchor^-1 o T_anchor', landmarks ride their
+        reference keyframe (p' = T_ref'^-1 T_ref p). Global-similarity
+        gauge changes (merge scale, GBA arc rescale) arrive EXACTLY on
+        the gauge channel before this runs (_apply_gauge_down), so the
+        residual handled here is locally rigid; a global similarity fit
+        over all corrected poses (the round-4 design) misplaced the tail
+        whenever the residual varied along the trajectory."""
+        corr = np.asarray(sorted(self._corrected_now), np.int64)
+        poses_new = np.array(self.slam.m.kf_pose)
         old_T = self._old_poses[corr]
-        new_T = np.array(self.slam.m.kf_pose)[corr]
+        new_T = poses_new[corr]
         if np.allclose(old_T, new_T, atol=1e-7):
             return                          # refinement-free ack cycle
-        c_old = np.stack([-T[:3, :3].T @ T[:3, 3] for T in old_T])
-        c_new = np.stack([-T[:3, :3].T @ T[:3, 3] for T in new_T])
-        # a metric gravity-aligned map (inertial, post-init) can only have
-        # moved by a 4-DoF gauge change (yaw + translation, scale 1) — the
-        # server's corrections are constrained to that family, so a free
-        # Sim3 estimate here would inject scale/tilt noise into the live
-        # pose and velocity (round-2 VERDICT Weak #2 failure mode)
-        metric = bool(getattr(self.slam, "imu_initialized", False))
-        if len(corr) >= 3 and \
-                np.linalg.matrix_rank(c_old - c_old.mean(0)) >= 2:
-            s, R_w, t_w = umeyama_align(c_old, c_new,
-                                        with_scale=not metric)
-        else:
-            # single/degenerate set: rigid per-KF transform of the newest
-            # corrected KF (scale unobservable -> 1)
-            T_o, T_n = old_T[-1], new_T[-1]
-            W = np.linalg.inv(T_n) @ T_o      # p_new = W p_old
-            s, R_w, t_w = 1.0, W[:3, :3], W[:3, 3]
-        if metric:
-            s = 1.0
-            # project the rotation to yaw-only (about world z = gravity)
-            yaw = np.arctan2(R_w[1, 0] - R_w[0, 1],
-                             R_w[0, 0] + R_w[1, 1])
-            R_w = np.array([[np.cos(yaw), -np.sin(yaw), 0.0],
-                            [np.sin(yaw), np.cos(yaw), 0.0],
-                            [0.0, 0.0, 1.0]], np.float64)
-            # re-fit the translation to the corrected centers under the
-            # constrained rotation (least squares: mean residual)
-            t_w = (c_new - c_old @ R_w.T).mean(0)
-        if s <= 0 or not np.isfinite(s):
-            return
         m = self.slam.m
         n_kf = int(m.n_kf)
         n_mp = int(m.n_mp)
@@ -406,65 +511,83 @@ class CollabClient:
         move_kf = np.zeros(m.kf_pose.shape[0], bool)
         move_kf[:n_kf] = np.array(m.kf_valid[:n_kf])
         move_kf &= ~self._locked_before
-        move_kf[list(self._corrected_now)] = False
+        move_kf[corr] = False
         move_kf &= ~self._is_foreign_kf
-        # landmarks to move: own, valid, not updated by the server now
-        # and never sent to it (the server re-corrects everything it
-        # knows; only local-fresh points must be carried over by hand)
+        # per-KF old->new pose pairs: corrected slots take the exact
+        # server values; moved slots chain through the nearest corrected
+        poses_old = self._old_poses
+        inv_old_corr = {int(k): np.linalg.inv(poses_old[int(k)])
+                        for k in corr}
+
+        def nearest_anchor(k: int) -> int:
+            i = np.searchsorted(corr, k)
+            below = corr[i - 1] if i > 0 else None
+            above = corr[i] if i < len(corr) else None
+            if below is None:
+                return int(above)
+            if above is None:
+                return int(below)
+            return int(below if k - below <= above - k else above)
+
+        moved_idx = np.nonzero(move_kf)[0]
+        for k in moved_idx:
+            a = nearest_anchor(int(k))
+            poses_new[k] = (poses_old[k] @ inv_old_corr[a]
+                            @ poses_new[a]).astype(np.float32)
+        # landmarks: ride the correction of their reference keyframe
+        # (p' = T_ref'^-1 T_ref p — reference CorrectLoop MP update).
+        # This must cover already-sent landmarks too: ones the server
+        # culled or truncated under budget would otherwise stay in the
+        # old frame and tear tracking after a re-gauging event.
         move_mp = np.zeros(m.mp_pos.shape[0], bool)
-        move_mp[self._sent_mp:n_mp] = True
-        move_mp &= np.array(m.mp_valid)
+        move_mp[:n_mp] = np.array(m.mp_valid[:n_mp])
         move_mp[list(self._mp_updated_now)] = False
         move_mp &= ~self._is_foreign_mp
-        if move_kf.any() or move_mp.any():
-            sR = (s * R_w).astype(np.float32)
-            # camera pose: T_new = T_old o W^-1; with a similarity W the
-            # camera rotation stays orthonormal and translation scales:
-            # R_n = R_o R_w^T, t_n = s t_o - R_n t_w... derive via centers:
-            # c_new = s R_w c_old + t_w, R_new = R_old R_w^T.
-            poses = np.array(m.kf_pose)
-            for k in np.nonzero(move_kf)[0]:
-                R_o, t_o = poses[k, :3, :3], poses[k, :3, 3]
-                c_o = -R_o.T @ t_o
-                c_n = s * R_w @ c_o + t_w
-                R_n = R_o @ R_w.T
-                poses[k, :3, :3] = R_n
-                poses[k, :3, 3] = -R_n @ c_n
-            mp = np.array(m.mp_pos)
-            idx = np.nonzero(move_mp)[0]
-            mp[idx] = (mp[idx] @ sR.T) + t_w
-            self.slam.m = m._replace(kf_pose=jnp.asarray(poses),
-                                     mp_pos=jnp.asarray(mp))
-        # live pose follows the gauge (reference UpdateFrameIMU +
-        # CorrectLoop propagation, src/Tracking.cc:3726)
-        def rebase(T_o):
-            R_o, t_o = T_o[:3, :3], T_o[:3, 3]
-            c_n = s * R_w @ (-R_o.T @ t_o) + t_w
-            R_n = R_o @ R_w.T
-            T_n = np.eye(4, dtype=np.float32)
-            T_n[:3, :3] = R_n
-            T_n[:3, 3] = -R_n @ c_n
-            return T_n
+        mp = np.array(m.mp_pos)
+        ref = np.array(m.mp_ref_kf)
+        idx = np.nonzero(move_mp)[0]
+        if len(idx):
+            r = ref[idx]
+            r_ok = (r >= 0) & (r < n_kf) & ~self._is_foreign_kf[
+                np.clip(r, 0, len(self._is_foreign_kf) - 1)]
+            idx = idx[r_ok]
+            r = r[r_ok]
+            if len(idx):
+                A = np.einsum("kij,kjl->kil",
+                              np.linalg.inv(poses_new[r]), poses_old[r])
+                xh = np.concatenate([mp[idx], np.ones((len(idx), 1))], 1)
+                mp[idx] = np.einsum("kij,kj->ki", A, xh)[:, :3] \
+                    .astype(np.float32)
+        self.slam.m = m._replace(kf_pose=jnp.asarray(poses_new),
+                                 mp_pos=jnp.asarray(mp))
+        # live pose chains through the newest corrected keyframe
+        # (reference UpdateFrameIMU + CorrectLoop propagation,
+        # src/Tracking.cc:3726); T_vel = T2 o T1^-1 is invariant under
+        # a shared right-multiplication, so the motion model survives
+        aN = int(corr[-1])
+        chain = inv_old_corr[aN] @ poses_new[aN]
 
-        self.slam.T_cur = rebase(np.asarray(self.slam.T_cur))
-        self.slam.T_vel = np.eye(4, dtype=np.float32)
+        def rebase(T_o):
+            return (np.asarray(T_o) @ chain).astype(np.float32)
+
+        self.slam.T_cur = rebase(self.slam.T_cur)
+        if getattr(self.slam, "_last_ok_T", None) is not None:
+            self.slam._last_ok_T = rebase(self.slam._last_ok_T)
+        self.slam._T_cur_dev = None
         if hasattr(self.slam, "v_cur"):
-            sR = (s * R_w).astype(np.float32)
-            self.slam.v_cur = (sR @ self.slam.v_cur).astype(np.float32)
-            # the per-KF velocity mirrors feed the next inertial window
-            # BA — they must follow the gauge too (the reference rotates
-            # KF velocities in CorrectLoop's Sim3 propagation)
-            n_kf = int(self.slam.m.n_kf)
+            # world-frame velocities follow the world-change of the
+            # anchor: p' = T_a'^-1 T_a p  =>  v' = R_W v
+            A_w = np.linalg.inv(poses_new[aN]) @ poses_old[aN]
+            R_w = A_w[:3, :3].astype(np.float32)
+            self.slam.v_cur = (R_w @ self.slam.v_cur).astype(np.float32)
             self.slam.kf_velocity[:n_kf] = \
-                self.slam.kf_velocity[:n_kf] @ sR.T
+                self.slam.kf_velocity[:n_kf] @ R_w.T
             self.slam._prev_state = None
             # v_cur is ALREADY in the new gauge: block _post_track's
             # finite-difference re-anchor, whose previous pose is in the
             # OLD gauge — the difference would span the gauge jump and
             # inject a garbage velocity (the f43 2x-velocity blowup)
             self.slam._v_fresh = True
-            if getattr(self.slam, "_last_ok_T", None) is not None:
-                self.slam._last_ok_T = rebase(self.slam._last_ok_T)
 
     # ------------------------------------------------------------------
     def _merge_preint_over(self, lid: int) -> None:

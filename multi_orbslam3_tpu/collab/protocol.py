@@ -168,12 +168,22 @@ class MapDelta:
     # reliability: server->client cumulative ack of in-order-processed
     # uplink seq (the reference's open-ack lists, Communicator.h:162-165)
     ack_seq: int = -1
+    # server->client EXACT event gauge (the ClientHandler
+    # mg2oS_wcurmap_wclientmap handoff, src/ClientHandler.h:24): the
+    # CUMULATIVE Sim3 the server has applied to this client's sub-map
+    # through merges — semantics: poses T' = T o G, landmarks
+    # p' = G^-1(p); layout [s, R row-major 9, t 3] (13,) float64. The
+    # client tracks the epoch it last applied and applies only the
+    # remainder, so a lost downlink frame cannot desynchronize gauges.
+    gauge_down: Optional[np.ndarray] = None
+    gauge_epoch: int = 0
 
     def to_bytes(self) -> bytes:
         arrays: Dict[str, np.ndarray] = {}
         meta = {"agent": self.agent, "seq": self.seq,
                 "closest_kf": self.closest_kf, "scale": self.scale,
-                "inertial": self.inertial, "ack_seq": self.ack_seq}
+                "inertial": self.inertial, "ack_seq": self.ack_seq,
+                "gauge_epoch": self.gauge_epoch}
         for name in ("kfs", "kf_updates", "mps", "mp_updates",
                      "foreign_kfs", "foreign_mps"):
             obj = getattr(self, name)
@@ -201,6 +211,8 @@ class MapDelta:
             arrays["T_bc"] = self.T_bc
         if self.cam is not None:
             arrays["cam"] = self.cam
+        if self.gauge_down is not None:
+            arrays["gauge_down"] = self.gauge_down
         return codec.pack(meta, arrays)
 
     @classmethod
@@ -244,4 +256,6 @@ class MapDelta:
                    foreign_erased_kf=arrays.get("foreign_erased_kf"),
                    foreign_erased_mp=arrays.get("foreign_erased_mp"),
                    R_gw=arrays.get("R_gw"), T_bc=arrays.get("T_bc"),
-                   cam=arrays.get("cam"))
+                   cam=arrays.get("cam"),
+                   gauge_down=arrays.get("gauge_down"),
+                   gauge_epoch=meta.get("gauge_epoch", 0))

@@ -61,6 +61,16 @@ def _arena_chi2_jit(poses, points, obs, K):
         jnp.sum(ok.astype(jnp.int32)), 1)
 
 
+def _compose_g13(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Compose two [s, R9, t3] gauges: result = a o b (b applied after a
+    in the pose right-multiplication T o a o b)."""
+    sa, Ra, ta = float(a[0]), a[1:10].reshape(3, 3), a[10:13]
+    sb, Rb, tb = float(b[0]), b[1:10].reshape(3, 3), b[10:13]
+    return np.concatenate([
+        np.asarray([sa * sb]), (Ra @ Rb).reshape(9),
+        sa * (Ra @ tb) + ta])
+
+
 def _is_ready(x) -> bool:
     """True when a jax array's computation has completed (async-dispatch
     probe; plain numpy inputs are always ready)."""
@@ -87,6 +97,17 @@ class AgentBook:
     pending: List[bytes] = dataclasses.field(default_factory=list)
     dirty_kfs: List[int] = dataclasses.field(default_factory=list)
     erased_out: List[int] = dataclasses.field(default_factory=list)
+    # own landmarks culled server-side, queued for the owner's downlink
+    # (local ids; the client erases its copy so no stale-gauge landmark
+    # survives a re-gauging correction)
+    erased_mp_out: List[int] = dataclasses.field(default_factory=list)
+    # exact CUMULATIVE event gauge (the ClientHandler
+    # mg2oS_wcurmap_wclientmap handoff): composition of every Sim3 the
+    # server's merges applied to this agent's sub-map, [s, R9, t3];
+    # shipped with an epoch on every downlink once non-identity so a
+    # dropped frame cannot desynchronize the gauges
+    gauge_total: Optional[np.ndarray] = None
+    gauge_epoch: int = 0
     # foreign entities already shipped in full to this client (the
     # reference's "client has never seen" test, KeyFrame.cc:1765-1807)
     sent_foreign_kf: set = dataclasses.field(default_factory=set)
@@ -154,6 +175,11 @@ class CollabServer:
         self._pr_queue: List[Tuple[int, int]] = []      # (agent, kf_slot)
         self._gba_inflight = None       # incremental-GBA state (see
         #                                 start_global_ba_async)
+        self._last_gba_ingest = 0       # kf_ingested at the last GBA start
+        # deterministic GBA stepping (one step per comm cycle, adoption on
+        # a fixed cycle) — set True in CI so runs are reproducible; the
+        # default polls device readiness for realtime overlap
+        self.deterministic = False
         self.stats = {"kf_ingested": 0, "mp_ingested": 0, "merges": 0,
                       "loops": 0, "dropped_kf": 0, "gba_runs": 0}
 
@@ -332,6 +358,19 @@ class CollabServer:
         self._resolve_pending_assoc()
         self._run_place_recognition(run_gba=run_gba_on_events)
         self._poll_gba()
+        # periodic arena refinement: beyond the reference's event-only
+        # GBA, re-polish the whole arena every gba_periodic_kfs ingested
+        # keyframes (time-sliced off the critical path like the event
+        # GBA). The event-only policy left each agent's post-event arc
+        # unrefined to the end of the run — the dominant residual in the
+        # bench-scale ATE once the merge chain itself was exact.
+        periodic = self.cfg.loop.gba_periodic_kfs
+        if run_gba_on_events and periodic > 0 \
+                and self._gba_inflight is None \
+                and self.stats["kf_ingested"] - self._last_gba_ingest \
+                >= periodic and self._gba_guard_ok():
+            self.start_global_ba_async(iters=6, cg_iters=30)
+            self._last_gba_ingest = self.stats["kf_ingested"]
         self._cycle_count = getattr(self, "_cycle_count", 0) + 1
         if self._cycle_count % 8 == 0 and self._gba_inflight is None:
             # culling is deferred while a GBA is in flight: erasures
@@ -415,6 +454,35 @@ class CollabServer:
             if T_abs is None:
                 self.stats["dropped_kf"] += 1
                 continue
+            # step-sanity vetting: a keyframe implying a step many times
+            # the agent's running median is a tracking-failure artifact
+            # (post-loss false recovery) — once in the arena it is never
+            # repairable (GBA's robust kernel just ignores its outlier
+            # observations and the pose stays). Reject it; successors
+            # resolve through the relative-pose fallback chain.
+            steps = getattr(book, "step_hist", None)
+            if steps is None:
+                steps = book.step_hist = []
+            prev_slot = book.last_kf_slot
+            step = None
+            if prev_slot is not None and prev_slot >= 0:
+                if kf_pose_host is None:
+                    kf_pose_host = np.array(self.m.kf_pose)
+                T_prev = kf_pose_host[prev_slot] if prev_slot < n_kf0 \
+                    else accepted[prev_slot - n_kf0][2]
+                c_new = -T_abs[:3, :3].T @ T_abs[:3, 3]
+                c_prev = -T_prev[:3, :3].T @ T_prev[:3, 3]
+                step = float(np.linalg.norm(c_new - c_prev))
+                if len(steps) >= 5 and \
+                        step > 8.0 * max(float(np.median(steps)), 1e-6):
+                    self.stats["kf_vetoed"] = \
+                        self.stats.get("kf_vetoed", 0) + 1
+                    book.erased_kf_tomb.add(lid)   # drop resends too
+                    continue
+            if step is not None:
+                steps.append(step)
+                if len(steps) > 30:
+                    del steps[0]
             if book.map_id < 0:
                 book.map_id = self._next_map_id
                 self._next_map_id += 1
@@ -888,6 +956,7 @@ class CollabServer:
                 # just the seam window. Time-sliced off the critical
                 # path: one GN step per comm cycle
                 self.start_global_ba_async(iters=10, cg_iters=40)
+                self._last_gba_ingest = self.stats["kf_ingested"]
 
     # ------------------------------------------------------------------
     def _arena_robust_chi2(self) -> float:
@@ -940,9 +1009,23 @@ class CollabServer:
 
         self.kf_map[self.kf_map == map_cur] = map_cand
         self.mp_map[self.mp_map == map_cur] = map_cand
+        # the exact gauge this merge applied to the moved sub-map:
+        # T' = T o S_loop, p' = S_loop^-1(p). Ship it to every owner so
+        # the client re-bases its whole frame EXACTLY (the reference's
+        # per-client mg2oS_wcurmap_wclientmap, ClientHandler.h:24) —
+        # inferring it from a handful of downlinked locked poses was the
+        # round-4 failure: with <3 corrected poses the client fell back
+        # to a rigid fit and DROPPED the merge scale, tearing its frame.
+        g13 = np.concatenate([
+            np.asarray([float(S_loop.s)]),
+            np.asarray(S_loop.R, np.float64).reshape(9),
+            np.asarray(S_loop.t, np.float64).reshape(3)])
         for book in self.agents.values():   # future ingest goes to the
             if book.map_id == map_cur:      # merged map (ChangeMap analog)
                 book.map_id = map_cand
+                book.gauge_total = g13 if book.gauge_total is None else \
+                    _compose_g13(book.gauge_total, g13)
+                book.gauge_epoch += 1
         # weld the spanning forest: current KF's root chain hangs off cand
         # (reference rebuilds the spanning tree after MergeLocal)
         root = kf_cur
@@ -962,6 +1045,45 @@ class CollabServer:
             sim3.identity(), iters=8,
             fix_scale=inert_map, yaw_only=inert_map)
 
+    def _queue_event_gauges(self, before: np.ndarray,
+                            max_slot: Optional[int] = None) -> None:
+        """After a non-rigid correction (GBA), fit the per-agent
+        similarity between pre- and post-correction keyframe centers and
+        queue it on the exact downlink gauge channel (same
+        mg2oS_wcurmap_wclientmap handoff as merges). A GBA that
+        re-scales one agent's arc (a merge Sim3 whose scale was off) is
+        then applied to the client's WHOLE frame exactly; the residual
+        non-similarity refinement travels as per-entity locked updates.
+        `before`: kf_pose snapshot the correction started from;
+        `max_slot`: only slots below this existed in the snapshot."""
+        from multi_orbslam3_tpu.eval.ate import umeyama_align
+        valid = np.array(self.m.kf_valid)
+        agents_arr = np.array(self.m.kf_agent)
+        new = np.array(self.m.kf_pose)
+        hi = before.shape[0] if max_slot is None else int(max_slot)
+        for a, book in self.agents.items():
+            own = np.nonzero(valid & (agents_arr == a))[0]
+            own = own[own < hi]
+            if len(own) < 3:
+                continue
+            def centers(T):
+                return np.einsum("nji,nj->ni", -T[:, :3, :3], T[:, :3, 3])
+            c_old = centers(before[own])
+            c_new = centers(new[own])
+            if np.linalg.matrix_rank(c_new - c_new.mean(0), tol=1e-4) < 2:
+                continue
+            # pose gauge semantics: T' = T o G  <=>  centers c' = G^-1(c)
+            # so fit c_old ~ G(c_new)
+            s, R, t = umeyama_align(c_new, c_old)
+            if abs(s - 1.0) < 1e-4 and \
+                    np.abs(R - np.eye(3)).max() < 1e-4 and \
+                    np.abs(t).max() < 1e-4:
+                continue
+            g13 = np.concatenate([[s], R.reshape(9), t])
+            book.gauge_total = g13 if book.gauge_total is None else \
+                _compose_g13(book.gauge_total, g13)
+            book.gauge_epoch += 1
+
     def _mark_corrected_and_lock(self, recent_free: int = 5) -> None:
         """After a loop/merge correction, lock the corrected poses for
         downlink — EXCEPT each agent's newest keyframes, which stay
@@ -980,17 +1102,6 @@ class CollabServer:
             book.corrections_pending = True
         self.m = self.m._replace(
             kf_pose_locked=self.m.kf_pose_locked | jnp.asarray(lock))
-
-    def _mark_all_dirty_and_lock(self) -> None:
-        """After GBA, lock every valid KF pose (the reference locks after
-        GBA, LoopClosing.cc:~2719) and queue the full map for downlink."""
-        self.m = self.m._replace(
-            kf_pose_locked=self.m.kf_pose_locked | self.m.kf_valid)
-        valid = np.array(self.m.kf_valid)
-        agents_arr = np.array(self.m.kf_agent)
-        for a, book in self.agents.items():
-            book.dirty_kfs = list(np.nonzero(valid & (agents_arr == a))[0])
-            book.corrections_pending = True
 
     # ==================================================================
     # server-side global BA (the distributed Schur reduction entry)
@@ -1043,6 +1154,7 @@ class CollabServer:
         distributed Schur-complement criterion)."""
         _t_gba0 = time.perf_counter()
         m = self.m
+        before_pose = np.array(m.kf_pose)
         obs, K_obs, fixed, inert = self._assemble_gba()
         if distributed is None:
             distributed = len(jax.devices()) > 1
@@ -1056,9 +1168,10 @@ class CollabServer:
                 m.kf_pose, jnp.asarray(fixed), m.mp_pos, m.mp_valid, obs,
                 K_obs, iters=iters, cg_iters=cg_iters)
         c_in, c_out = float(res.chi2_in), float(res.chi2)
+        # strict gate: the LM-controlled solve is monotone non-increasing
+        # on its own metric, so anything else signals a broken snapshot
         if np.isfinite(c_in) and \
-                (not np.isfinite(c_out) or c_out > max(c_in * 1.5,
-                                                       c_in + 0.5)):
+                (not np.isfinite(c_out) or c_out > c_in + 1e-6):
             self.stats["gba_rejected"] = \
                 self.stats.get("gba_rejected", 0) + 1
             return
@@ -1076,7 +1189,12 @@ class CollabServer:
         if inert:
             self.stats["vi_windows"] = self.stats.get("vi_windows", 0) + \
                 self.run_inertial_refinement()
-        self._mark_all_dirty_and_lock()
+        # lock the corrected poses for downlink but keep each agent's
+        # newest keyframes free (reference locks GBA output,
+        # LoopClosing.cc:~2719; freeing the tail keeps the client's live
+        # frame and window BA consistent with its fresh odometry)
+        self._queue_event_gauges(before_pose)
+        self._mark_corrected_and_lock()
 
     # ------------------------------------------------------------------
     # asynchronous (time-sliced) GBA — the reference detaches
@@ -1103,6 +1221,7 @@ class CollabServer:
             "poses": m.kf_pose, "points": m.mp_pos,
             "obs": obs, "K_obs": K_obs, "fixed": jnp.asarray(fixed),
             "point_valid": m.mp_valid, "inert": inert,
+            "lam": 1e-3,
             "iters_left": int(iters), "cg_iters": int(cg_iters),
             "launch_n_kf": int(m.n_kf), "launch_n_mp": int(m.n_mp),
             "before_pose": np.array(m.kf_pose),
@@ -1127,8 +1246,9 @@ class CollabServer:
                 res = global_ba.global_bundle_adjust(
                     st["poses"], st["fixed"], st["points"],
                     st["point_valid"], st["obs"], st["K_obs"],
-                    iters=1, cg_iters=st["cg_iters"])
+                    iters=1, cg_iters=st["cg_iters"], lam0=st["lam"])
                 st["poses"], st["points"] = res.poses, res.points
+                st["lam"] = res.lam      # LM damping carries across slices
                 st["iters_left"] -= 1
             else:
                 jax.block_until_ready(st["poses"])
@@ -1144,18 +1264,25 @@ class CollabServer:
             return
         if st["iters_left"] > 0:
             # don't queue a second step behind an unfinished one — the
-            # device would serve GBA back-to-back and starve ingest
-            if not _is_ready(st["poses"]):
+            # device would serve GBA back-to-back and starve ingest.
+            # deterministic mode (CI) steps every cycle instead: adoption
+            # timing is then a pure function of the cycle count, not of
+            # host/device speed (timing-dependent adoption made identical
+            # test runs diverge).
+            if not self.deterministic and not _is_ready(st["poses"]):
                 return
             res = global_ba.global_bundle_adjust(
                 st["poses"], st["fixed"], st["points"], st["point_valid"],
-                st["obs"], st["K_obs"], iters=1, cg_iters=st["cg_iters"])
+                st["obs"], st["K_obs"], iters=1, cg_iters=st["cg_iters"],
+                lam0=st["lam"])
             st.setdefault("chi2_launch", res.chi2_in)
             st["chi2_final"] = res.chi2
             st["poses"], st["points"] = res.poses, res.points
+            st["lam"] = res.lam          # LM damping carries across slices
             st["iters_left"] -= 1
             return
-        if not (_is_ready(st["poses"]) and _is_ready(st["points"])):
+        if not self.deterministic and \
+                not (_is_ready(st["poses"]) and _is_ready(st["points"])):
             return
         self._adopt_gba(st)
         self._gba_inflight = None
@@ -1168,8 +1295,7 @@ class CollabServer:
         c_in = float(st.get("chi2_launch", float("nan")))
         c_out = float(st.get("chi2_final", 0.0))
         if np.isfinite(c_in) and \
-                (not np.isfinite(c_out) or c_out > max(c_in * 1.5,
-                                                       c_in + 0.5)):
+                (not np.isfinite(c_out) or c_out > c_in + 1e-6):
             self.stats["gba_rejected"] = \
                 self.stats.get("gba_rejected", 0) + 1
             return
@@ -1228,7 +1354,8 @@ class CollabServer:
         if st["inert"]:
             self.stats["vi_windows"] = self.stats.get("vi_windows", 0) + \
                 self.run_inertial_refinement()
-        self._mark_all_dirty_and_lock()
+        self._queue_event_gauges(before, max_slot=launch_nk)
+        self._mark_corrected_and_lock()
 
     # ==================================================================
     # culling (server-side only, like the reference: the client never
@@ -1466,6 +1593,23 @@ class CollabServer:
             after_mp = np.array(self.m.mp_valid)
             culled_mp = np.nonzero(before_mp & ~after_mp)[0]
             culled_set = set(int(s) for s in culled_mp)
+            mp_owner = np.array(self.m.mp_agent)
+            # notify the OWNER too (reference erased-entity flow,
+            # Communicator.cc:309-354 + Map erased registries): the
+            # client's local copy must die with the server's — a stale
+            # local copy is never re-corrected, and after a re-gauging
+            # merge/GBA it sits at the OLD gauge poisoning tracking
+            # (the round-4 bench-scale collapse).
+            s2l = {a: {s: l for l, s in book.mp_l2s.items()}
+                   for a, book in self.agents.items()}
+            for s in sorted(culled_set):
+                a = int(mp_owner[s])
+                lid = s2l.get(a, {}).get(s)
+                if lid is not None:
+                    book = self.agents[a]
+                    book.erased_mp_out.append(lid)
+                    book.erased_mp_tomb.add(lid)
+                    del book.mp_l2s[lid]
             for b2, book2 in self.agents.items():
                 gone = book2.sent_foreign_mp & culled_set
                 if gone:
@@ -1484,19 +1628,38 @@ class CollabServer:
         src/Map.cc:935-1042; KeyFrame::ConvertToMessageServer,
         KeyFrame.cc:1765-1807)."""
         cap = self.cfg.comm.vicinity_kfs
+        m = self.m
+        # ONE batched device->host snapshot per cycle, shared by every
+        # agent's downlink + vicinity packing (field-by-field np.array()
+        # fetches cost a tunnel round-trip each — the round-4 collab
+        # throughput bottleneck)
+        anchors = {}
+        for a, book in self.agents.items():
+            anc = book.kf_l2s.get(book.closest_kf, book.last_kf_slot)
+            anchors[a] = -1 if anc is None else int(anc)
+        anc_arr = jnp.asarray([anchors[a] for a in sorted(self.agents)],
+                              jnp.int32)
+        covis_all = jax.vmap(
+            lambda k: ms.covisibility_row(m, jnp.maximum(k, 0)))(anc_arr)
+        snap = jax.device_get(dict(
+            kf_pose=m.kf_pose, locked=m.kf_pose_locked,
+            kf_valid=m.kf_valid, kf_agent=m.kf_agent,
+            kf_timestamp=m.kf_timestamp, kf_mp=m.kf_mp,
+            kf_feat_valid=m.kf_feat_valid, kf_cam=m.kf_cam,
+            mp_pos=m.mp_pos, mp_valid=m.mp_valid, mp_agent=m.mp_agent,
+            covis=covis_all))
+        covis_by_agent = {a: snap["covis"][i]
+                          for i, a in enumerate(sorted(self.agents))}
         for a, book in self.agents.items():
             ku = mu = None
             sent_slots: List[int] = []
             if book.dirty_kfs:
                 slots = np.unique(np.asarray(book.dirty_kfs, np.int64))
-                locked = np.array(self.m.kf_pose_locked)[slots]
+                locked = snap["locked"][slots]
                 slots = slots[locked]
                 # vicinity priority: closest to the client's reference KF
-                anchor = book.kf_l2s.get(book.closest_kf,
-                                         book.last_kf_slot)
-                if anchor is not None and anchor >= 0 and len(slots) > cap:
-                    covis = np.array(ms.covisibility_row(
-                        self.m, jnp.int32(anchor)))
+                if anchors[a] >= 0 and len(slots) > cap:
+                    covis = covis_by_agent[a]
                     order = np.argsort(-covis[slots])
                     slots = slots[order][:cap]
                 else:
@@ -1505,7 +1668,7 @@ class CollabServer:
                 ok = local_ids >= 0
                 slots, local_ids = slots[ok], local_ids[ok]
                 if len(slots):
-                    poses = np.array(self.m.kf_pose)[slots]
+                    poses = snap["kf_pose"][slots]
                     ku = protocol.KFUpdatePayload(
                         agent=a, local_id=local_ids.astype(np.int32),
                         T_abs=poses, locked=np.ones(len(slots), bool))
@@ -1521,7 +1684,7 @@ class CollabServer:
                 if own_mp:
                     lids = np.asarray([l for l, _ in own_mp], np.int32)
                     sl = np.asarray([s for _, s in own_mp])
-                    cur = np.array(self.m.mp_pos)[sl]
+                    cur = snap["mp_pos"][sl]
                     if book.mp_down_pos is None:
                         book.mp_down_pos = np.full(
                             (self.m.max_mp, 3), np.inf, np.float32)
@@ -1536,14 +1699,19 @@ class CollabServer:
                             locked=np.ones(len(pick), bool))
                         book.mp_down_pos[sl[pick]] = cur[pick]
                     book.corrections_pending = bool(moved.sum() > len(pick))
-            fkf, fmp = self._pack_foreign_vicinity(a, book)
+            fkf, fmp = self._pack_foreign_vicinity(
+                a, book, snap, covis_by_agent[a], anchors[a])
             erased = getattr(book, "erased_out", [])
+            erased_mp = book.erased_mp_out
             f_kf_rev = book.foreign_erased_kf_out
             f_mp_rev = book.foreign_erased_mp_out
+            gauge = book.gauge_total
+            gauge_fresh = book.gauge_epoch > getattr(
+                book, "_gauge_sent_epoch", 0)
             need_ack = book.next_seq - 1 > getattr(book, "acked", 0)
             if ku is None and mu is None and fkf is None and fmp is None \
-                    and not erased and not f_kf_rev and not f_mp_rev \
-                    and not need_ack:
+                    and not erased and not erased_mp and not f_kf_rev \
+                    and not f_mp_rev and not gauge_fresh and not need_ack:
                 book.dirty_kfs = []
                 continue
             book.acked = book.next_seq - 1
@@ -1551,31 +1719,38 @@ class CollabServer:
                 agent=a, kf_updates=ku, mp_updates=mu,
                 foreign_kfs=fkf, foreign_mps=fmp,
                 erased_kf=np.asarray(erased, np.int32) if erased else None,
+                erased_mp=np.asarray(erased_mp, np.int32)
+                if erased_mp else None,
                 foreign_erased_kf=np.asarray(f_kf_rev, np.int32)
                 if f_kf_rev else None,
                 foreign_erased_mp=np.asarray(f_mp_rev, np.int32)
                 if f_mp_rev else None,
-                ack_seq=book.next_seq - 1)
+                ack_seq=book.next_seq - 1, gauge_down=gauge,
+                gauge_epoch=book.gauge_epoch)
             book.erased_out = []
+            book.erased_mp_out = []
+            book._gauge_sent_epoch = book.gauge_epoch
             book.foreign_erased_kf_out = []
             book.foreign_erased_mp_out = []
             self.transport.send_down(a, delta.to_bytes())
             book.dirty_kfs = sorted(set(book.dirty_kfs) - set(sent_slots))
 
     def _pack_foreign_vicinity(self, a: int, book: AgentBook,
+                               snap: Dict, covis: np.ndarray, anchor: int,
                                kf_budget: int = 6, mp_budget: int = 3000):
         """Pack the <=vicinity_kfs covisibility vicinity around the
         client's reference KF, restricted to OTHER agents' entities in the
         SAME (merged) sub-map that this client has never received
         (Map::PackVicinityToMsg2, src/Map.cc:935-1042). Returns
         (ForeignKFPayload|None, ForeignMPPayload|None); budgets bound the
-        per-cycle payload like the reference's iteration bounds."""
-        anchor = book.kf_l2s.get(book.closest_kf, book.last_kf_slot)
+        per-cycle payload like the reference's iteration bounds. `snap`/
+        `covis`/`anchor` come from _downlink's one-fetch cycle snapshot;
+        only the few NEW foreign keyframes' per-feature rows cost an
+        extra (device-gathered) fetch."""
         if anchor is None or anchor < 0 or book.map_id < 0:
             return None, None
-        covis = np.array(ms.covisibility_row(self.m, jnp.int32(int(anchor))))
-        valid = np.array(self.m.kf_valid)
-        owners = np.array(self.m.kf_agent)
+        valid = snap["kf_valid"]
+        owners = snap["kf_agent"]
         cand = np.nonzero((covis > 0) & valid & (owners != a)
                           & (self.kf_map == book.map_id))[0]
         if len(cand) == 0:
@@ -1587,20 +1762,22 @@ class CollabServer:
         mp_new: List[int] = []
         if new_kf:
             sl = np.asarray(new_kf)
-            kf_mp = np.array(self.m.kf_mp[sl])
-            fv = np.array(self.m.kf_feat_valid[sl])
+            kf_mp = snap["kf_mp"][sl]
+            fv = snap["kf_feat_valid"][sl]
+            sl_d = jnp.asarray(sl)
+            rows = jax.device_get(dict(
+                uv=self.m.kf_uv[sl_d], desc=self.m.kf_desc[sl_d],
+                level=self.m.kf_level[sl_d], angle=self.m.kf_angle[sl_d]))
             fkf = protocol.ForeignKFPayload(
                 server_id=sl.astype(np.int32), owner=owners[sl],
-                timestamp=np.array(self.m.kf_timestamp[sl]),
-                T_abs=np.array(self.m.kf_pose[sl]),
-                uv=np.array(self.m.kf_uv[sl]),
-                desc=np.array(self.m.kf_desc[sl]),
-                level=np.array(self.m.kf_level[sl]),
-                angle=np.array(self.m.kf_angle[sl]),
+                timestamp=snap["kf_timestamp"][sl],
+                T_abs=snap["kf_pose"][sl],
+                uv=rows["uv"], desc=rows["desc"], level=rows["level"],
+                angle=rows["angle"],
                 feat_valid=fv, mp_server=kf_mp,
-                cam=np.array(self.m.kf_cam[sl]))
+                cam=snap["kf_cam"][sl])
             book.sent_foreign_kf.update(new_kf)
-            mp_valid = np.array(self.m.mp_valid)
+            mp_valid = snap["mp_valid"]
             cand_mp = np.unique(kf_mp[(kf_mp >= 0) & fv])
             mp_new = [int(s) for s in cand_mp if mp_valid[s]
                       and int(s) not in book.sent_foreign_mp][:mp_budget]
@@ -1608,8 +1785,8 @@ class CollabServer:
             msl = np.asarray(mp_new)
             fmp = protocol.ForeignMPPayload(
                 server_id=msl.astype(np.int32),
-                owner=np.array(self.m.mp_agent)[msl],
-                pos_abs=np.array(self.m.mp_pos)[msl],
-                desc=np.array(self.m.mp_desc)[msl])
+                owner=snap["mp_agent"][msl],
+                pos_abs=snap["mp_pos"][msl],
+                desc=np.asarray(self.m.mp_desc[jnp.asarray(msl)]))
             book.sent_foreign_mp.update(mp_new)
         return fkf, fmp

@@ -137,6 +137,10 @@ class LoopConfig:
     # for maps smaller than this (reference NewDetectCommonRegions skips
     # <12-KF maps — an immature-map merge poisons both agents)
     event_interval_kfs: int = 5      # fresh KFs required between events
+    # periodic full-arena GBA every N ingested keyframes (0 disables;
+    # beyond the reference's event-only GBA — keeps each agent's
+    # post-event arc globally refined instead of drifting to run end)
+    gba_periodic_kfs: int = 12
 
 
 @dataclasses.dataclass(frozen=True)

@@ -232,16 +232,19 @@ def bench_collab(n_agents: int = 2, n_frames: int = 150,
             frame_t.append(time.perf_counter() - ft0)
         server.drain_gba()      # adopt any time-sliced GBA still in flight
         wall = time.perf_counter() - t0
-    if warmup:
-        total_fps = n_agents * n_frames / wall
-    else:
-        # single-pass mode (driver budget): steady-state throughput from
-        # the tail frames — the first third carries the jit compiles that
-        # the two-pass protocol would have pushed into a warmup run
-        tail = frame_t[len(frame_t) // 3:]
-        total_fps = n_agents / max(float(np.mean(tail)), 1e-9)
+    # BOTH throughput definitions under distinct keys (the single-pass
+    # tail number excludes first-third jit compiles; the wall number is
+    # frames/wall including them — reporting only the tail made collab
+    # fps incomparable across rounds and disagree with wall_s):
+    total_fps_wall = n_agents * n_frames / wall
+    tail = frame_t[len(frame_t) // 3:]
+    total_fps_tail = n_agents / max(float(np.mean(tail)), 1e-9)
+    total_fps = total_fps_wall if warmup else total_fps_tail
     out = {"agents": n_agents, "frames": n_frames,
            "total_fps": round(total_fps, 2),
+           "total_fps_wall": round(total_fps_wall, 2),
+           "total_fps_tail": round(total_fps_tail, 2),
+           "fps_mode": "two_pass_wall" if warmup else "single_pass_tail",
            "wall_s": round(wall, 2),
            "merges": server.stats["merges"], "loops": server.stats["loops"],
            "bytes_up_mb": round(tr.bytes_up / 2 ** 20, 1),

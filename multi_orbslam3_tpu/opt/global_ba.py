@@ -35,6 +35,7 @@ class GBAResult(NamedTuple):
     points: jnp.ndarray
     chi2: jnp.ndarray           # mean inlier chi2 AFTER the solve
     chi2_in: jnp.ndarray = jnp.nan   # ... and BEFORE (divergence gate)
+    lam: jnp.ndarray = jnp.nan  # final LM damping (carry across slices)
 
 
 def _psum(x, axis_name):
@@ -51,7 +52,8 @@ def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
                          iters: int = 8, cg_iters: int = 40,
                          chi2_th: float = robust.CHI2_MONO,
                          axis_name: Optional[str] = None,
-                         point_aligned: bool = False) -> GBAResult:
+                         point_aligned: bool = False,
+                         lam0=1e-3) -> GBAResult:
     """poses: (Kc, 4, 4) replicated; points: (P, 3) replicated; obs: the
     LOCAL observation shard. fixed: (Kc,) bool gauge/lock mask.
 
@@ -63,11 +65,19 @@ def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
     landmark-parallel decomposition of distributed Schur BA."""
     Kc = poses.shape[0]
     P = points.shape[0]
-    lam = 1e-4
     free = (~fixed).astype(jnp.float32)
 
+    def mean_chi2(po, pt):
+        r, _, _, behind = _obs_terms(po, pt, obs, K)
+        c2 = _chi2(r, obs.inv_sigma2)
+        n = jnp.maximum(_psum(jnp.sum(
+            (obs.valid & ~behind).astype(jnp.int32)), axis_name), 1)
+        return _psum(jnp.sum(jnp.where(obs.valid & ~behind,
+                                       jnp.minimum(c2, chi2_th), 0.0)),
+                     axis_name) / n
+
     def gn_step(carry, _):
-        poses_, points_ = carry
+        poses_, points_, lam, c_cur = carry
         r, J_cam, J_pt, behind = _obs_terms(poses_, points_, obs, K)
         c2 = _chi2(r, obs.inv_sigma2)
         w = robust.huber_weight(c2, chi2_th) * obs.inv_sigma2
@@ -155,23 +165,27 @@ def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
         dc = jnp.where(finite, dc, 0.0)
         dp = jnp.where(finite, dp, 0.0)
         new_poses = se3.normalize(jax.vmap(se3.retract)(poses_, dc))
-        return (new_poses, points_ + dp), jnp.sum(jnp.where(
-            obs.valid, c2, 0.0))
-
-    def mean_chi2(po, pt):
-        r, _, _, behind = _obs_terms(po, pt, obs, K)
-        c2 = _chi2(r, obs.inv_sigma2)
-        n = jnp.maximum(_psum(jnp.sum(
-            (obs.valid & ~behind).astype(jnp.int32)), axis_name), 1)
-        return _psum(jnp.sum(jnp.where(obs.valid & ~behind, c2, 0.0)),
-                     axis_name) / n
+        new_points = points_ + dp
+        # Levenberg-Marquardt step control: a raw GN step on a poorly
+        # conditioned arena (wrong seam associations, fresh drifted
+        # tail) can INCREASE the error — accept only improving steps,
+        # raise damping on rejection (observed in the collab bench: GN
+        # runs diverging 5.3 -> 7.5 and being adopted)
+        c_new = mean_chi2(new_poses, new_points)
+        accept = finite & (c_new <= c_cur)
+        poses_out = jnp.where(accept, new_poses, poses_)
+        points_out = jnp.where(accept, new_points, points_)
+        lam_out = jnp.where(accept, jnp.maximum(lam * 0.4, 1e-6),
+                            jnp.minimum(lam * 8.0, 1e3))
+        c_out = jnp.where(accept, c_new, c_cur)
+        return (poses_out, points_out, lam_out, c_out), c_out
 
     chi2_in = mean_chi2(poses, points)
-    (poses_f, points_f), chi2_hist = jax.lax.scan(
-        gn_step, (poses, points), None, length=iters)
-    chi2 = mean_chi2(poses_f, points_f)
+    (poses_f, points_f, lam_f, chi2), _ = jax.lax.scan(
+        gn_step, (poses, points, jnp.asarray(lam0, jnp.float32), chi2_in),
+        None, length=iters)
     return GBAResult(poses=poses_f, points=points_f, chi2=chi2,
-                     chi2_in=chi2_in)
+                     chi2_in=chi2_in, lam=lam_f)
 
 
 def global_bundle_adjust_sharded(poses, fixed, points, point_valid,
@@ -253,7 +267,7 @@ def global_bundle_adjust_sharded(poses, fixed, points, point_valid,
             inner, mesh=mesh,
             in_specs=(P(), P(), P(), P(), spec, kspec),
             out_specs=GBAResult(poses=P(), points=P(), chi2=P(),
-                                chi2_in=P()))(
+                                chi2_in=P(), lam=P()))(
             poses, fixed, points, point_valid, obs_in, K_in)
 
     obs_dev = jax.tree_util.tree_map(

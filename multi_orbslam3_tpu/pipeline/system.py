@@ -174,8 +174,9 @@ class MonoSlam:
         return self.state
 
     # ------------------------------------------------------------------
-    # Pipelined frame loop: dispatch frame i, finalize frame i-1. The
-    # axon/TPU tunnel's device->host round-trip (~25 ms) would otherwise
+    # Pipelined frame loop: dispatch frame i, finalize frame i-1. On a
+    # network-attached accelerator the device->host round-trip (~25 ms
+    # when tunneled) would otherwise
     # serialize with device compute every frame; here the fetch of frame
     # i-1's packed scalars overlaps frame i's extract+track program. The
     # prediction chain lives on device (_fused_step_chained); the host
@@ -395,6 +396,7 @@ class MonoSlam:
             self.T_cur = T_new
             self.state = TrackState.OK
             self.lost_count = 0
+            self._ok_streak = getattr(self, "_ok_streak", 0) + 1
             self.frames_since_kf += 1
             self.stats["frames_tracked"] += 1
             # the decay baseline rises during the post-KF recovery window:
@@ -420,6 +422,7 @@ class MonoSlam:
             # RECENTLY_LOST: hold the motion model, give it a few frames
             # (reference Tracking.cc:1691-1766 ladder, minus IMU predict)
             self.lost_count += 1
+            self._ok_streak = 0
             self.stats["frames_lost"] += 1
             self.T_cur = T_pred
             self.state = (TrackState.RECENTLY_LOST
@@ -560,6 +563,14 @@ class MonoSlam:
         the cadence at the reference's 1-5 Hz instead of every frame."""
         c = self.cfg.tracking
         if self.localization_only:
+            return False
+        # post-loss cooldown: a frame that just "recovered" may have
+        # converged onto a wrong pose (reloc false positive, lucky
+        # matches) — a keyframe minted from it poisons the map AND the
+        # collaborative arena permanently. Require a short stable-OK
+        # streak first (reference NeedNewKeyFrame requires OK state and
+        # its reloc path waits mnFramesToResetIMU, Tracking.cc:2813+).
+        if getattr(self, "_ok_streak", 0) < 2:
             return False
         if self.frames_since_kf < max(1, c.kf_min_interval):
             return False

@@ -39,8 +39,9 @@ class TrackResult(NamedTuple):
     visible: jnp.ndarray    # (P,) bool landmarks in this frame's frustum
                             # (feeds MapPoint::IncreaseVisible statistics)
     # (18,) f32 [pose.ravel(), n_inliers, n_matches] — everything the
-    # host state machine reads, in ONE device->host transfer. The axon
-    # tunnel's round-trip is ~25 ms; separate int(n_inliers) +
+    # host state machine reads, in ONE device->host transfer. A
+    # network-attached accelerator's round-trip is ~25 ms; separate
+    # int(n_inliers) +
     # np.asarray(pose) fetches were the single largest per-frame cost.
     packed: jnp.ndarray = None
 
