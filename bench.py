@@ -70,6 +70,13 @@ def main() -> None:
     configs["mono_inertial"] = B.bench_mono_inertial()
     log(f"  -> {configs['mono_inertial']}")
     emit()
+    log("bench: mini-ASL (EuRoC-layout dataset-ingest drill)...")
+    try:
+        configs["mini_asl"] = B.bench_mini_asl()
+        log(f"  -> {configs['mini_asl']}")
+    except Exception as e:  # noqa: BLE001
+        configs["mini_asl"] = {"error": str(e)[:300]}
+    emit()
     log("bench: collab 2-agent (150 frames, GBA on, single pass)...")
     # single pass: the two-pass warmup protocol doubled the slowest
     # config and pushed the whole bench past the driver budget
@@ -78,37 +85,42 @@ def main() -> None:
         n_agents=2, warmup=False)
     log(f"  -> {configs['collab_2agent']}")
     emit()
+    # ---- heavy configs, IN the scored artifact (round-4 VERDICT Next
+    # #4: 4-agent + arena-scale GBA + vocabulary selectivity had sat
+    # behind MO3_BENCH_FULL and were never captured). Budget order:
+    # cheapest first, emit() after each so a driver timeout keeps
+    # whatever finished.
+    log("bench: global BA at arena scale (1024 KF / 32k MP)...")
+    try:
+        configs["gba_large"] = B.bench_gba_large()
+        log(f"  -> {configs['gba_large']}")
+    except Exception as e:  # noqa: BLE001
+        configs["gba_large"] = {"error": str(e)[:300]}
+    emit()
+    log("bench: collab 4-agent (BASELINE config #5, 100 frames)...")
+    try:
+        configs["collab_4agent"], server4 = B.bench_collab(
+            n_agents=4, n_frames=100, warmup=False)
+        log(f"  -> {configs['collab_4agent']}")
+    except Exception as e:  # noqa: BLE001
+        configs["collab_4agent"] = {"error": str(e)[:300]}
+    emit()
+    log("bench: vocabulary selectivity (10k vs 100k words)...")
+    try:
+        configs["vocab"] = B.bench_vocab_selectivity()
+        log(f"  -> {configs['vocab']}")
+    except Exception as e:  # noqa: BLE001
+        configs["vocab"] = {"error": str(e)[:300]}
+    emit()
 
     if os.environ.get("MO3_BENCH_FULL") != "1":
         return
 
-    # ---- full mode: heavy studies, results on stderr only -------------
+    # ---- full mode: extra studies, results on stderr only -------------
     extra = {}
-    log("bench[full]: collab 4-agent (BASELINE config #5)...")
-    try:
-        extra["collab_4agent"], server4 = B.bench_collab(
-            n_agents=4, n_frames=100, warmup=False)
-        log(f"  -> {extra['collab_4agent']}")
-        log("bench[full]: global BA iters/s (4-agent arena)...")
-        extra["gba_4agent"] = B.bench_gba(server4)
-        log(f"  -> {extra['gba_4agent']}")
-    except Exception as e:  # noqa: BLE001
-        extra["collab_4agent_error"] = str(e)[:300]
     log("bench[full]: global BA iters/s (2-agent arena)...")
     extra["gba"] = B.bench_gba(server)
     log(f"  -> {extra['gba']}")
-    log("bench[full]: global BA at arena scale (1024 KF / 32k MP)...")
-    try:
-        extra["gba_large"] = B.bench_gba_large()
-        log(f"  -> {extra['gba_large']}")
-    except Exception as e:  # noqa: BLE001
-        extra["gba_large_error"] = str(e)[:300]
-    log("bench[full]: vocabulary selectivity (10k vs 100k words)...")
-    try:
-        extra["vocab"] = B.bench_vocab_selectivity()
-        log(f"  -> {extra['vocab']}")
-    except Exception as e:  # noqa: BLE001
-        extra["vocab_error"] = str(e)[:300]
     log("bench[full]: frontend kernel micro-bench (pallas vs XLA)...")
     extra["kernels"] = B.bench_kernels()
     log(f"  -> {extra['kernels']}")

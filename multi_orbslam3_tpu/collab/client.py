@@ -52,6 +52,16 @@ class CollabClient:
         self._foreign_mp = {}
         self._is_foreign_kf = np.zeros(config.map.max_keyframes, bool)
         self._is_foreign_mp = np.zeros(config.map.max_mappoints, bool)
+        # reverse map (local slot -> server id) so uplinked keyframes can
+        # declare which FOREIGN landmarks they observe (the reference's
+        # KF.msg association triplets carry ClientIds for this)
+        self._foreign_mp_rev = np.full(config.map.max_mappoints, -1,
+                                       np.int32)
+        # landmarks the server has locked (placed by a GBA/pose-graph
+        # correction): their positions are server-owned now — uplinking
+        # local refinements would be dropped server-side anyway, so the
+        # outbound scan skips them (MapPoint pose-lock precedence)
+        self._mp_locked_srv = np.zeros(config.map.max_mappoints, bool)
         self._seq = 0
         # cumulative server gauge applied to our frame ([s, R9, t3];
         # identity at start) + the epoch it corresponds to — see
@@ -82,16 +92,38 @@ class CollabClient:
     # ------------------------------------------------------------------
     def comm_cycle(self) -> None:
         """One communication cycle: ingest corrections, publish deltas
-        (reference Communicator::RunClient, src/Communicator.cc:164-230)."""
+        (reference Communicator::RunClient, src/Communicator.cc:164-230).
+
+        Idle-skip: the delta build starts with a full arena snapshot
+        (one device->host fetch). Between keyframe events nothing the
+        uplink ships can have changed — poses/landmarks only move on KF
+        insertion, mapping adoption, corrections, or gauge events — so
+        idle cycles skip the build entirely (every 8th cycle runs it
+        regardless, as a drift backstop). The reference's comm thread
+        idles the same way: its out-buffers are simply empty."""
         self._cycle += 1
         self._ingest_corrections()
+        sig = (self.slam.stats.get("kf_inserted", 0),
+               self.slam.stats.get("mp_created", 0),
+               self.slam.stats.get("mp_fused", 0),
+               self.stats["corrections_applied"],
+               self.stats.get("gauges_applied", 0),
+               getattr(self.slam, "pending_gauge", None) is not None)
+        dirty = sig != getattr(self, "_last_sig", None)
+        if not dirty and self._cycle % 8 != 0:
+            self._resend_unacked()
+            return
+        self._last_sig = sig
         delta = self._build_delta()
         if delta is not None:
             payload = delta.to_bytes()
             self._outbox[delta.seq] = (payload, self._cycle)
             self.transport.send_up(self.agent, payload)
             self.stats["deltas_sent"] += 1
-        # resend unacked deltas that have been outstanding too long
+        self._resend_unacked()
+
+    def _resend_unacked(self) -> None:
+        """Resend unacked deltas outstanding too long (open-ack lists)."""
         for seq, (payload, sent_at) in list(self._outbox.items()):
             if self._cycle - sent_at >= self._resend_after:
                 self.transport.send_up(self.agent, payload)
@@ -166,13 +198,20 @@ class CollabClient:
                     rid = ref_ids[b, r]
                     if rid >= 0:
                         T_rel[b, r] = poses[b] @ np.linalg.inv(all_poses[rid])
-            mp_local = snap["kf_mp"][ids]
-            # strip associations to foreign landmarks (the server already
-            # owns them under their original identity)
-            mp_local = np.where(
-                (mp_local >= 0)
-                & self._is_foreign_mp[np.maximum(mp_local, 0)],
-                -1, mp_local)
+            mp_raw = snap["kf_mp"][ids]
+            # foreign associations travel under their SERVER identity
+            # (reference KF.msg MP triplets carry ClientIds,
+            # msg/KF.msg mvpMapPoints_ClientIds) — these cross-agent
+            # observations are what lets the server's GBA align the
+            # agents' arcs after a merge
+            import os as _os
+            is_f = (mp_raw >= 0) & self._is_foreign_mp[np.maximum(mp_raw, 0)]
+            mp_server = np.where(
+                is_f, self._foreign_mp_rev[np.maximum(mp_raw, 0)],
+                -1).astype(np.int32)
+            if _os.environ.get("MO3_NO_XASSOC"):
+                mp_server = np.full_like(mp_server, -1)
+            mp_local = np.where(is_f, -1, mp_raw)
             # preintegration uplink (the reference ships mpImuPreintegrated
             # + velocity in every KF message, src/KeyFrame.cc
             # ConvertToMessage; the server needs them for FullInertialBA
@@ -195,7 +234,7 @@ class CollabClient:
                 is_first=(ids == 0),
                 uv=rows["uv"], desc=rows["desc"], level=rows["level"],
                 angle=rows["angle"], feat_valid=rows["fv"],
-                mp_local=mp_local, imu=imu_rows)
+                mp_local=mp_local, mp_server=mp_server, imu=imu_rows)
             self._sent_kf_pose[ids] = poses
             new_kf_hi = int(ids[-1]) + 1 \
                 if len(own_new) == comm.client_kf_bound else n_kf
@@ -245,19 +284,24 @@ class CollabClient:
                 # triplets; without this the server culls landmarks it
                 # believes under-observed)
                 urows = snap["kf_mp"][ids]
-                urows = np.where(
-                    (urows >= 0) & self._is_foreign_mp[np.maximum(urows, 0)],
-                    -1, urows)
+                u_is_f = (urows >= 0) & \
+                    self._is_foreign_mp[np.maximum(urows, 0)]
+                u_server = np.where(
+                    u_is_f, self._foreign_mp_rev[np.maximum(urows, 0)],
+                    -1).astype(np.int32)
+                urows = np.where(u_is_f, -1, urows)
                 kf_updates = protocol.KFUpdatePayload(
                     agent=self.agent, local_id=ids, T_abs=cur[ids],
                     locked=np.zeros(len(ids), bool),
-                    mp_local=urows.astype(np.int32))
+                    mp_local=urows.astype(np.int32),
+                    mp_server=u_server)
                 self._sent_kf_pose[ids] = cur[ids]
         if self._sent_mp > 0:
             curp = snap["mp_pos"][:self._sent_mp]
             movedp = np.abs(curp - self._sent_mp_pos[:self._sent_mp])\
                 .max(axis=1) > 1e-6
-            movedp = movedp & ~self._is_foreign_mp[:self._sent_mp]
+            movedp = movedp & ~self._is_foreign_mp[:self._sent_mp] \
+                & ~self._mp_locked_srv[:self._sent_mp]
             if movedp.any():
                 ids = np.nonzero(movedp)[0].astype(np.int32)
                 ids = ids[:comm.client_mp_bound]
@@ -324,10 +368,12 @@ class CollabClient:
                 ku = delta.kf_updates
                 apply = np.asarray(ku.locked, bool)
                 if apply.any():
-                    ids = jnp.asarray(ku.local_id[apply], jnp.int32)
+                    from multi_orbslam3_tpu.utils.padding import pad_pow2
+                    pids, pT = pad_pow2(ku.local_id[apply].astype(np.int32),
+                                        ku.T_abs[apply].astype(np.float32))
+                    ids = jnp.asarray(pids)
                     m = m._replace(
-                        kf_pose=m.kf_pose.at[ids].set(
-                            jnp.asarray(ku.T_abs[apply])),
+                        kf_pose=m.kf_pose.at[ids].set(jnp.asarray(pT)),
                         kf_pose_locked=m.kf_pose_locked.at[ids].set(True))
                     self.stats["corrections_applied"] += int(apply.sum())
                     self._sent_kf_pose[ku.local_id[apply]] = ku.T_abs[apply]
@@ -337,10 +383,14 @@ class CollabClient:
                 mu = delta.mp_updates
                 apply = np.asarray(mu.locked, bool)
                 if apply.any():
-                    ids = jnp.asarray(mu.local_id[apply], jnp.int32)
-                    m = m._replace(mp_pos=m.mp_pos.at[ids].set(
-                        jnp.asarray(mu.pos_abs[apply])))
+                    from multi_orbslam3_tpu.utils.padding import pad_pow2
+                    pids, ppos = pad_pow2(
+                        mu.local_id[apply].astype(np.int32),
+                        mu.pos_abs[apply].astype(np.float32))
+                    m = m._replace(mp_pos=m.mp_pos.at[
+                        jnp.asarray(pids)].set(jnp.asarray(ppos)))
                     self._sent_mp_pos[mu.local_id[apply]] = mu.pos_abs[apply]
+                    self._mp_locked_srv[mu.local_id[apply]] = True
                     self._mp_updated_now.update(
                         int(i) for i in mu.local_id[apply])
             if delta.erased_kf is not None:
@@ -380,11 +430,13 @@ class CollabClient:
                     if loc is not None:
                         slots.append(loc)
                         self._is_foreign_mp[loc] = False
+                        self._foreign_mp_rev[loc] = -1
                 if slots:
                     m = ms.erase_mappoints(
                         m, jnp.asarray(slots, jnp.int32))
                     self.stats["foreign_revoked_mp"] = \
                         self.stats.get("foreign_revoked_mp", 0) + len(slots)
+            m = self._apply_foreign_updates(m, delta)
             m = self._ingest_foreign(m, delta)
             self.slam.m = m
         if payloads and self._corrected_now:
@@ -619,6 +671,41 @@ class CollabClient:
             self.slam._accum = win
 
     # ------------------------------------------------------------------
+    def _apply_foreign_updates(self, m, delta: protocol.MapDelta):
+        """Refresh foreign entities the server corrected since shipping
+        them (the reference downlink re-sends KFred/MPred for vicinity
+        entities of every owner; stale foreign copies would pull live
+        tracking toward the pre-correction gauge)."""
+        from multi_orbslam3_tpu.utils.padding import pad_pow2
+        fku = delta.foreign_kf_updates
+        if fku is not None:
+            locs, poses = [], []
+            for b, sid in enumerate(fku.server_id):
+                loc = self._foreign_kf.get(int(sid))
+                if loc is not None:
+                    locs.append(loc)
+                    poses.append(fku.T_abs[b])
+            if locs:
+                ids, T = pad_pow2(np.asarray(locs, np.int32),
+                                  np.stack(poses).astype(np.float32))
+                m = m._replace(kf_pose=m.kf_pose.at[jnp.asarray(ids)].set(
+                    jnp.asarray(T)))
+        fmu = delta.foreign_mp_updates
+        if fmu is not None:
+            locs, pos = [], []
+            for b, sid in enumerate(fmu.server_id):
+                loc = self._foreign_mp.get(int(sid))
+                if loc is not None:
+                    locs.append(loc)
+                    pos.append(fmu.pos_abs[b])
+            if locs:
+                ids, P = pad_pow2(np.asarray(locs, np.int32),
+                                  np.stack(pos).astype(np.float32))
+                m = m._replace(mp_pos=m.mp_pos.at[jnp.asarray(ids)].set(
+                    jnp.asarray(P)))
+        return m
+
+    # ------------------------------------------------------------------
     def _ingest_foreign(self, m, delta: protocol.MapDelta):
         """Ingest other agents' map content from the server vicinity
         downlink (reference Communicator::ProcessKfInClient /
@@ -647,6 +734,7 @@ class CollabClient:
                     if s >= 0:
                         self._foreign_mp[int(fm.server_id[b])] = s
                         self._is_foreign_mp[s] = True
+                        self._foreign_mp_rev[s] = int(fm.server_id[b])
                         self.stats["foreign_mp"] += 1
         fk = delta.foreign_kfs
         if fk is not None:

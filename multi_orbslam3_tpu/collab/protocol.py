@@ -51,6 +51,13 @@ class KFPayload:
     angle: np.ndarray           # (B, N)
     feat_valid: np.ndarray      # (B, N) bool
     mp_local: np.ndarray        # (B, N) int32 sender-local MP id per feature
+    # cross-agent associations: server arena slot of a FOREIGN landmark
+    # this feature tracks (-1 none). The reference's KF.msg association
+    # triplets carry (id, ClientId) pairs for exactly this reason — a
+    # keyframe may observe another agent's landmark, and those
+    # observations are what lets the server's global BA align the agents'
+    # arcs after a merge (msg/KF.msg mvpMapPoints_ClientIds).
+    mp_server: Optional[np.ndarray] = None      # (B, N) int32
     # inertial uplink (reference ships mpImuPreintegrated + velocity inside
     # KF messages so the server can run FullInertialBA and merge windows on
     # culling): (B, FLAT_DIM + 3) = flattened Preintegrated (prev own KF ->
@@ -72,6 +79,7 @@ class KFUpdatePayload:
     T_abs: np.ndarray           # (B, 4, 4)
     locked: np.ndarray          # (B,) bool — mbPoseLock
     mp_local: Optional[np.ndarray] = None   # (B, N) sender-local mp ids
+    mp_server: Optional[np.ndarray] = None  # (B, N) foreign assoc (server slots)
 
 
 @dataclasses.dataclass
@@ -124,6 +132,25 @@ class ForeignMPPayload:
     desc: np.ndarray            # (B, 8) uint32
 
 
+@dataclasses.dataclass
+class ForeignKFUpdatePayload:
+    """Pose-only refresh of foreign keyframes already shipped (the
+    reference downlink re-sends KFred updates for every vicinity entity,
+    other agents' included — PublishMapServer, Communicator.cc:1150-1228;
+    without these the client's foreign copies go stale the moment a GBA
+    or pose-graph correction moves the arena)."""
+    server_id: np.ndarray       # (B,) int32
+    T_abs: np.ndarray           # (B, 4, 4)
+
+
+@dataclasses.dataclass
+class ForeignMPUpdatePayload:
+    """Position-only refresh of foreign landmarks already shipped
+    (MPred analog for other agents' entities)."""
+    server_id: np.ndarray       # (B,) int32
+    pos_abs: np.ndarray         # (B, 3)
+
+
 def peek_seq(data: bytes) -> int:
     """Envelope seq of a wire frame WITHOUT decoding the array table
     (CRC-validated). Raises ValueError on corrupted/unknown frames."""
@@ -143,6 +170,8 @@ class MapDelta:
     mp_updates: Optional[MPUpdatePayload] = None
     foreign_kfs: Optional[ForeignKFPayload] = None
     foreign_mps: Optional[ForeignMPPayload] = None
+    foreign_kf_updates: Optional[ForeignKFUpdatePayload] = None
+    foreign_mp_updates: Optional[ForeignMPUpdatePayload] = None
     erased_kf: Optional[np.ndarray] = None      # (E,) int32 local ids
     erased_mp: Optional[np.ndarray] = None
     # server->client revocation of FOREIGN entities previously shipped in
@@ -185,7 +214,8 @@ class MapDelta:
                 "inertial": self.inertial, "ack_seq": self.ack_seq,
                 "gauge_epoch": self.gauge_epoch}
         for name in ("kfs", "kf_updates", "mps", "mp_updates",
-                     "foreign_kfs", "foreign_mps"):
+                     "foreign_kfs", "foreign_mps",
+                     "foreign_kf_updates", "foreign_mp_updates"):
             obj = getattr(self, name)
             if obj is None:
                 continue
@@ -251,6 +281,10 @@ class MapDelta:
                    mp_updates=build("mp_updates", MPUpdatePayload),
                    foreign_kfs=build("foreign_kfs", ForeignKFPayload),
                    foreign_mps=build("foreign_mps", ForeignMPPayload),
+                   foreign_kf_updates=build("foreign_kf_updates",
+                                            ForeignKFUpdatePayload),
+                   foreign_mp_updates=build("foreign_mp_updates",
+                                            ForeignMPUpdatePayload),
                    erased_kf=arrays.get("erased_kf"),
                    erased_mp=arrays.get("erased_mp"),
                    foreign_erased_kf=arrays.get("foreign_erased_kf"),

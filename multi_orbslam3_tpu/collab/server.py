@@ -139,6 +139,11 @@ class AgentBook:
     # landmarks under client_mp_bound — round-2 VERDICT Weak #4)
     mp_down_pos: Optional[np.ndarray] = None
     corrections_pending: bool = False
+    # foreign-entity refresh mirrors: pose/position last shipped for each
+    # already-sent foreign keyframe/landmark, so post-correction refreshes
+    # only cover entities that actually moved
+    f_kf_down: Optional[np.ndarray] = None
+    f_mp_down: Optional[np.ndarray] = None
 
 
 class CollabServer:
@@ -155,6 +160,14 @@ class CollabServer:
         self.m = ms.empty_map(max_kf, max_mp, config.orb.n_features)
         self.kf_map = np.full(max_kf, -1, np.int32)     # sub-map id per slot
         self.mp_map = np.full(max_mp, -1, np.int32)
+        # landmark position locks (the MapPoint half of the reference's
+        # "server wins after optimization" rule, SetWorldPos(bLock),
+        # src/MapPoint.cc:187): once a GBA/pose-graph correction has
+        # placed a landmark, the owner's window-BA refinements — computed
+        # in its own, less-informed frame — must not overwrite it (they
+        # were the round-5 live-loop failure: each GBA's refinement was
+        # stomped by ~10k client mp_updates within a few cycles)
+        self.mp_locked = np.zeros(max_mp, bool)
         self.kf_local = np.full(max_kf, -1, np.int32)   # sender-local id
         # per-slot uplinked IMU row: flattened Preintegrated (prev own KF ->
         # this KF) + world-frame body velocity (the reference keeps
@@ -195,8 +208,10 @@ class CollabServer:
                   for n in self.m._fields}
         arrays.update({
             "kf_map": self.kf_map, "mp_map": self.mp_map,
+            "mp_locked": self.mp_locked,
             "kf_local": self.kf_local, "kf_imu": self.kf_imu,
-            "db.bow": np.asarray(self.db.bow),
+            "db.word": np.asarray(self.db.word),
+            "db.norm": np.asarray(self.db.norm),
             "db.active": np.asarray(self.db.active),
             "db.agent": np.asarray(self.db.agent),
         })
@@ -257,12 +272,28 @@ class CollabServer:
             if f"map.{n}" in data})   # fields added later keep defaults
         self.kf_map = data["kf_map"]
         self.mp_map = data["mp_map"]
+        if "mp_locked" in data:
+            self.mp_locked = data["mp_locked"]
         self.kf_local = data["kf_local"]
         if "kf_imu" in data:
             self.kf_imu = data["kf_imu"]
-        self.db = self.db._replace(bow=jnp.asarray(data["db.bow"]),
-                                   active=jnp.asarray(data["db.active"]),
-                                   agent=jnp.asarray(data["db.agent"]))
+        if "db.word" in data:
+            self.db = self.db._replace(
+                word=jnp.asarray(data["db.word"]),
+                norm=jnp.asarray(data["db.norm"]),
+                active=jnp.asarray(data["db.active"]),
+                agent=jnp.asarray(data["db.agent"]))
+        else:
+            # checkpoint from the dense-matrix era: rebuild the sparse
+            # rows exactly from the arena's stored descriptors
+            active = np.asarray(data["db.active"])
+            agents_row = np.asarray(data["db.agent"])
+            self.db = dbm.KeyframeDatabase.empty(self.m.max_kf)
+            for k in np.nonzero(active)[0]:
+                self.db, _ = dbm.add_keyframe_bow(
+                    self.db, self.voc, jnp.int32(int(k)),
+                    self.m.kf_desc[int(k)], self.m.kf_feat_valid[int(k)],
+                    int(agents_row[k]))
         self._next_map_id = host["next_map_id"]
         self.stats = host["stats"]
         self.agents = {}
@@ -369,13 +400,23 @@ class CollabServer:
                 and self._gba_inflight is None \
                 and self.stats["kf_ingested"] - self._last_gba_ingest \
                 >= periodic and self._gba_guard_ok():
-            self.start_global_ba_async(iters=6, cg_iters=30)
+            self.start_global_ba_async(iters=8, cg_iters=40)
             self._last_gba_ingest = self.stats["kf_ingested"]
         self._cycle_count = getattr(self, "_cycle_count", 0) + 1
         if self._cycle_count % 8 == 0 and self._gba_inflight is None:
             # culling is deferred while a GBA is in flight: erasures
             # would invalidate the snapshot the solve runs on
             self._cull()
+        # arena-moved signature: any ingest/correction/cull/gauge event
+        # since the last cycle obliges a downlink pass (see _downlink's
+        # idle-skip); a static arena costs nothing
+        sig = tuple(self.stats.get(k, 0) for k in (
+            "kf_ingested", "mp_ingested", "kf_upd_ingested",
+            "mp_upd_ingested", "merges", "loops", "gba_runs",
+            "kf_culled", "mp_culled", "gauge_applied"))
+        if sig != getattr(self, "_last_arena_sig", None):
+            self._arena_epoch = getattr(self, "_arena_epoch", 0) + 1
+            self._last_arena_sig = sig
         self._downlink()
 
     # ------------------------------------------------------------------
@@ -542,6 +583,17 @@ class CollabServer:
                 self._pending_assoc.append(
                     (agent, slot_i, feats_idx,
                      mp_local_b[feats_idx].astype(np.int32)))
+            # cross-agent observations: the client declares which FOREIGN
+            # landmarks (server-slot identity) this keyframe tracks —
+            # the factors that let GBA align merged arcs (KF.msg
+            # mvpMapPoints_ClientIds analog). agent=-1 marks "already
+            # server slots" for the resolver.
+            if kfs.mp_server is not None:
+                srow = np.asarray(kfs.mp_server[b])
+                fidx = np.nonzero(srow >= 0)[0].astype(np.int32)
+                if len(fidx):
+                    self._pending_assoc.append(
+                        (-1, slot_i, fidx, srow[fidx].astype(np.int32)))
             book.kf_l2s[lid] = slot_i
             self.kf_map[slot_i] = book.map_id
             self.kf_local[slot_i] = lid
@@ -616,11 +668,21 @@ class CollabServer:
                     self._pending_assoc.append(
                         (agent, int(slot), feats_idx,
                          row[feats_idx].astype(np.int32)))
+            if ku.mp_server is not None:
+                srow = np.asarray(ku.mp_server[b])
+                fidx = np.nonzero(srow >= 0)[0].astype(np.int32)
+                if len(fidx):
+                    self._pending_assoc.append(
+                        (-1, int(slot), fidx, srow[fidx].astype(np.int32)))
         if ids:
+            from multi_orbslam3_tpu.utils.padding import pad_pow2
+            pids, pposes = pad_pow2(np.asarray(ids, np.int32),
+                                    np.stack(poses).astype(np.float32))
             self.m = self.m._replace(kf_pose=self.m.kf_pose.at[
-                jnp.asarray(ids, jnp.int32)].set(
-                jnp.asarray(np.stack(poses))))
+                jnp.asarray(pids)].set(jnp.asarray(pposes)))
             book.dirty_kfs.extend(ids)
+            self.stats["kf_upd_ingested"] = \
+                self.stats.get("kf_upd_ingested", 0) + len(ids)
 
     def _ingest_mp_updates(self, agent: int, mu: protocol.MPUpdatePayload):
         book = self.agents[agent]
@@ -629,13 +691,20 @@ class CollabServer:
             if int(lid) in book.erased_mp_tomb:
                 continue
             slot = book.mp_l2s.get(int(lid))
-            if slot is not None:
+            # locked = a server optimization placed this landmark; the
+            # owner's local refinement must not overwrite it (MapPoint
+            # pose-lock precedence, the mirror of KeyFrame.cc:2143-2144)
+            if slot is not None and not self.mp_locked[slot]:
                 ids.append(slot)
                 poss.append(mu.pos_abs[b])
         if ids:
+            from multi_orbslam3_tpu.utils.padding import pad_pow2
+            pids, pposs = pad_pow2(np.asarray(ids, np.int32),
+                                   np.stack(poss).astype(np.float32))
             self.m = self.m._replace(mp_pos=self.m.mp_pos.at[
-                jnp.asarray(ids, jnp.int32)].set(
-                jnp.asarray(np.stack(poss))))
+                jnp.asarray(pids)].set(jnp.asarray(pposs)))
+            self.stats["mp_upd_ingested"] = \
+                self.stats.get("mp_upd_ingested", 0) + len(ids)
 
     def _apply_agent_gauge(self, agent: int, scale: float,
                            R_gw: Optional[np.ndarray]) -> None:
@@ -673,9 +742,25 @@ class CollabServer:
         upd_kf, upd_f, upd_mp = [], [], []
         lut_cache: Dict[int, np.ndarray] = {}
         cap = self.cfg.map.max_mappoints
+        mp_valid_np = None
         for entry in self._pending_assoc:
             agent, kf_slot, feats_idx, mp_local = entry[:4]
             tries = entry[4] if len(entry) > 4 else 0
+            if agent < 0:
+                # cross-agent rows: ids ARE server arena slots; accept
+                # only live landmarks (a slot culled since the client
+                # observed it must not resurrect as an association)
+                if mp_valid_np is None:
+                    mp_valid_np = np.array(self.m.mp_valid)
+                sl = np.minimum(mp_local, self.m.max_mp - 1)
+                slots = np.where(mp_valid_np[sl], sl, -1).astype(np.int32)
+                found = slots >= 0
+                if found.any():
+                    upd_kf.append(np.full(int(found.sum()), kf_slot,
+                                          np.int32))
+                    upd_f.append(feats_idx[found])
+                    upd_mp.append(slots[found])
+                continue        # no retry: a dead foreign slot stays dead
             lut = lut_cache.get(agent)
             if lut is None:
                 l2s = self.agents[agent].mp_l2s
@@ -946,6 +1031,10 @@ class CollabServer:
             book.streak = 0
             book.streak_cand = -1
             book.last_event_ingest = self.stats["kf_ingested"]
+            # whole-overlap SearchAndFuse (not just the seam): fused
+            # duplicates give the upcoming GBA its cross-agent coupling
+            self._cross_agent_fuse(int(self.kf_map[kf_slot]))
+            self._follow_redirects()
             self._mark_corrected_and_lock()
             # a correction just moved poses: any solve still in flight
             # runs on a stale snapshot and must not adopt
@@ -954,9 +1043,86 @@ class CollabServer:
                 # deeper solve after events: the moved map's whole arc
                 # must re-settle against cross-agent observations, not
                 # just the seam window. Time-sliced off the critical
-                # path: one GN step per comm cycle
-                self.start_global_ba_async(iters=10, cg_iters=40)
+                # path: one GN step per comm cycle. 20 LM steps: the
+                # post-merge arena measurably converges at ~20 (10 left
+                # half the merge error in place — offline lab, round 5)
+                self.start_global_ba_async(iters=20, cg_iters=40)
                 self._last_gba_ingest = self.stats["kf_ingested"]
+
+    # ------------------------------------------------------------------
+    def _shared_map_ids(self) -> List[int]:
+        """Sub-map ids fed by more than one agent (merged maps)."""
+        by_map: Dict[int, set] = {}
+        for a, book in self.agents.items():
+            if book.map_id >= 0:
+                by_map.setdefault(book.map_id, set()).add(a)
+        return [mid for mid, ags in by_map.items() if len(ags) > 1]
+
+    # ------------------------------------------------------------------
+    def _follow_redirects(self) -> None:
+        """After landmark fusion (replace_mappoint), re-point host
+        bookkeeping at the survivors (reference observers follow
+        MapPoint::GetReplaced): each agent's local-id map chains through
+        mp_redirect so future uplinked associations resolve to the fused
+        landmark, and clients holding the dead slot as FOREIGN content
+        get a revocation."""
+        red = np.array(self.m.mp_redirect)
+        hot = np.nonzero(red >= 0)[0]
+        if not len(hot):
+            return
+
+        def resolve(s: int) -> int:
+            hops = 0
+            while red[s] >= 0 and hops < 64:
+                s = int(red[s])
+                hops += 1
+            return s
+
+        hot_set = set(int(x) for x in hot)
+        for a, book in self.agents.items():
+            for lid, s in list(book.mp_l2s.items()):
+                if s in hot_set:
+                    book.mp_l2s[lid] = resolve(s)
+            gone = book.sent_foreign_mp & hot_set
+            if gone:
+                book.foreign_erased_mp_out.extend(
+                    sorted(int(x) for x in gone))
+                book.sent_foreign_mp -= gone
+        # survivors inherit the merged map id of the arena they live in
+        self.m = self.m._replace(
+            mp_redirect=jnp.full_like(self.m.mp_redirect, -1))
+
+    # ------------------------------------------------------------------
+    def _cross_agent_fuse(self, map_id: int, per_agent: int = 16) -> int:
+        """Whole-overlap SearchAndFuse (reference LoopClosing::
+        SearchAndFuse, src/LoopClosing.cc:2477,2517 + the CorrectLoop
+        window fuse): project the merged map's landmarks into each
+        agent's recent keyframes and reconcile — duplicates merge into
+        ONE landmark observed by BOTH agents and unbound features attach
+        to the other agent's landmarks (3 px + descriptor gates). These
+        fused cross-agent observations are THE coupling that makes the
+        post-merge GBA well-posed: without them the absorbed arc hangs
+        off the seam alone and drifts as a near-rigid block."""
+        from multi_orbslam3_tpu.pipeline import local_mapping
+        valid = np.array(self.m.kf_valid)
+        agents_arr = np.array(self.m.kf_agent)
+        n_before = int(np.sum(np.array(self.m.mp_valid)))
+        for a in self.agents:
+            own = np.nonzero(valid & (agents_arr == a)
+                             & (self.kf_map == map_id))[0]
+            for k in own[-per_agent:]:
+                out = local_mapping.fuse_into_keyframe(
+                    self.m, jnp.int32(int(k)), self.K,
+                    width=self.cfg.camera.width,
+                    height=self.cfg.camera.height,
+                    scale_factor=self.cfg.orb.scale_factor,
+                    n_levels=self.cfg.orb.n_levels)
+                self.m = out.map
+        n_after = int(np.sum(np.array(self.m.mp_valid)))
+        fused = n_before - n_after
+        if fused:
+            self.stats["xfuse_mp"] = self.stats.get("xfuse_mp", 0) + fused
+        return fused
 
     # ------------------------------------------------------------------
     def _arena_robust_chi2(self) -> float:
@@ -1094,14 +1260,23 @@ class CollabServer:
         valid = np.array(self.m.kf_valid)
         agents_arr = np.array(self.m.kf_agent)
         lock = valid.copy()
+        free_kf = np.zeros_like(lock)
         for a, book in self.agents.items():
             own = np.nonzero(valid & (agents_arr == a))[0]
             if len(own) > recent_free:
                 lock[own[-recent_free:]] = False
+                free_kf[own[-recent_free:]] = True
             book.dirty_kfs = list(own)
             book.corrections_pending = True
         self.m = self.m._replace(
             kf_pose_locked=self.m.kf_pose_locked | jnp.asarray(lock))
+        # landmark half of the lock: everything the correction placed is
+        # now server-owned — except landmarks referenced from the free
+        # tail, which the owner's live mapping is still refining
+        mp_valid = np.array(self.m.mp_valid)
+        ref = np.array(self.m.mp_ref_kf)
+        fresh = (ref >= 0) & free_kf[np.clip(ref, 0, len(free_kf) - 1)]
+        self.mp_locked |= mp_valid & ~fresh
 
     # ==================================================================
     # server-side global BA (the distributed Schur reduction entry)
@@ -1189,6 +1364,11 @@ class CollabServer:
         if inert:
             self.stats["vi_windows"] = self.stats.get("vi_windows", 0) + \
                 self.run_inertial_refinement()
+        shared = self._shared_map_ids()
+        for mid in shared:
+            self._cross_agent_fuse(mid, per_agent=8)
+        if shared:
+            self._follow_redirects()
         # lock the corrected poses for downlink but keep each agent's
         # newest keyframes free (reference locks GBA output,
         # LoopClosing.cc:~2719; freeing the tail keeps the client's live
@@ -1354,6 +1534,13 @@ class CollabServer:
         if st["inert"]:
             self.stats["vi_windows"] = self.stats.get("vi_windows", 0) + \
                 self.run_inertial_refinement()
+        # improved geometry exposes more cross-agent duplicates: re-fuse
+        # shared sub-maps so the NEXT solve is tighter still
+        shared = self._shared_map_ids()
+        for mid in shared:
+            self._cross_agent_fuse(mid, per_agent=8)
+        if shared:
+            self._follow_redirects()
         self._queue_event_gauges(before, max_slot=launch_nk)
         self._mark_corrected_and_lock()
 
@@ -1552,6 +1739,13 @@ class CollabServer:
 
     def _cull(self) -> None:
         from multi_orbslam3_tpu.pipeline import culling
+        # nothing new since the last sweep -> nothing newly redundant
+        # (culling decisions depend only on ingested observations)
+        ing = (self.stats.get("kf_ingested", 0),
+               self.stats.get("mp_ingested", 0))
+        if ing == getattr(self, "_last_cull_ingest", None):
+            return
+        self._last_cull_ingest = ing
         protect = np.zeros(self.m.max_kf, bool)
         agents_arr = np.array(self.m.kf_agent)
         valid = np.array(self.m.kf_valid)
@@ -1629,6 +1823,28 @@ class CollabServer:
         KeyFrame.cc:1765-1807)."""
         cap = self.cfg.comm.vicinity_kfs
         m = self.m
+        # idle-skip BEFORE the snapshot fetch: when no agent has queued
+        # downlink work and the arena hasn't moved since the last cycle
+        # (no ingest, no correction event), the snapshot and the per-agent
+        # scans below produce nothing — skip them entirely. Correction
+        # events and foreign-refresh backlogs are tracked by the
+        # _arena_epoch counter bumped on every arena-moving event.
+        epoch = getattr(self, "_arena_epoch", 0)
+        any_work = epoch != getattr(self, "_downlink_epoch", -1)
+        if not any_work:
+            for a, book in self.agents.items():
+                if book.dirty_kfs or book.corrections_pending \
+                        or book.erased_out or book.erased_mp_out \
+                        or book.foreign_erased_kf_out \
+                        or book.foreign_erased_mp_out \
+                        or book.gauge_epoch > getattr(
+                            book, "_gauge_sent_epoch", 0) \
+                        or book.next_seq - 1 > getattr(book, "acked", 0):
+                    any_work = True
+                    break
+        if not any_work:
+            return
+        self._downlink_epoch = epoch
         # ONE batched device->host snapshot per cycle, shared by every
         # agent's downlink + vicinity packing (field-by-field np.array()
         # fetches cost a tunnel round-trip each — the round-4 collab
@@ -1701,6 +1917,43 @@ class CollabServer:
                     book.corrections_pending = bool(moved.sum() > len(pick))
             fkf, fmp = self._pack_foreign_vicinity(
                 a, book, snap, covis_by_agent[a], anchors[a])
+            fku = fmu2 = None
+            import os as _os
+            no_refresh = bool(_os.environ.get("MO3_NO_FREFRESH"))
+            # refresh already-shipped foreign entities the arena moved
+            # (GBA / pose graph / welding): stale foreign copies would
+            # pull the client's tracking toward the dead gauge
+            if book.sent_foreign_kf and not no_refresh:
+                sl = np.fromiter(book.sent_foreign_kf, np.int64,
+                                 len(book.sent_foreign_kf))
+                sl = sl[snap["kf_valid"][sl]]
+                if book.f_kf_down is None:
+                    book.f_kf_down = np.full(
+                        (self.m.max_kf, 4, 4), np.inf, np.float32)
+                curT = snap["kf_pose"][sl]
+                movedT = np.abs(curT - book.f_kf_down[sl]) \
+                    .reshape(len(sl), -1).max(1) > 1e-6
+                pick = sl[movedT][:self.cfg.comm.vicinity_kfs]
+                if len(pick):
+                    fku = protocol.ForeignKFUpdatePayload(
+                        server_id=pick.astype(np.int32),
+                        T_abs=snap["kf_pose"][pick])
+                    book.f_kf_down[pick] = snap["kf_pose"][pick]
+            if book.sent_foreign_mp and not no_refresh:
+                sl = np.fromiter(book.sent_foreign_mp, np.int64,
+                                 len(book.sent_foreign_mp))
+                sl = sl[snap["mp_valid"][sl]]
+                if book.f_mp_down is None:
+                    book.f_mp_down = np.full(
+                        (self.m.max_mp, 3), np.inf, np.float32)
+                curp = snap["mp_pos"][sl]
+                movedp = np.abs(curp - book.f_mp_down[sl]).max(1) > 1e-6
+                pick = sl[movedp][:self.cfg.comm.client_mp_bound]
+                if len(pick):
+                    fmu2 = protocol.ForeignMPUpdatePayload(
+                        server_id=pick.astype(np.int32),
+                        pos_abs=snap["mp_pos"][pick])
+                    book.f_mp_down[pick] = snap["mp_pos"][pick]
             erased = getattr(book, "erased_out", [])
             erased_mp = book.erased_mp_out
             f_kf_rev = book.foreign_erased_kf_out
@@ -1710,6 +1963,7 @@ class CollabServer:
                 book, "_gauge_sent_epoch", 0)
             need_ack = book.next_seq - 1 > getattr(book, "acked", 0)
             if ku is None and mu is None and fkf is None and fmp is None \
+                    and fku is None and fmu2 is None \
                     and not erased and not erased_mp and not f_kf_rev \
                     and not f_mp_rev and not gauge_fresh and not need_ack:
                 book.dirty_kfs = []
@@ -1718,6 +1972,7 @@ class CollabServer:
             delta = protocol.MapDelta(
                 agent=a, kf_updates=ku, mp_updates=mu,
                 foreign_kfs=fkf, foreign_mps=fmp,
+                foreign_kf_updates=fku, foreign_mp_updates=fmu2,
                 erased_kf=np.asarray(erased, np.int32) if erased else None,
                 erased_mp=np.asarray(erased_mp, np.int32)
                 if erased_mp else None,
@@ -1777,6 +2032,10 @@ class CollabServer:
                 feat_valid=fv, mp_server=kf_mp,
                 cam=snap["kf_cam"][sl])
             book.sent_foreign_kf.update(new_kf)
+            if book.f_kf_down is None:
+                book.f_kf_down = np.full(
+                    (self.m.max_kf, 4, 4), np.inf, np.float32)
+            book.f_kf_down[sl] = snap["kf_pose"][sl]
             mp_valid = snap["mp_valid"]
             cand_mp = np.unique(kf_mp[(kf_mp >= 0) & fv])
             mp_new = [int(s) for s in cand_mp if mp_valid[s]
@@ -1789,4 +2048,8 @@ class CollabServer:
                 pos_abs=snap["mp_pos"][msl],
                 desc=np.asarray(self.m.mp_desc[jnp.asarray(msl)]))
             book.sent_foreign_mp.update(mp_new)
+            if book.f_mp_down is None:
+                book.f_mp_down = np.full(
+                    (self.m.max_mp, 3), np.inf, np.float32)
+            book.f_mp_down[msl] = snap["mp_pos"][msl]
         return fkf, fmp

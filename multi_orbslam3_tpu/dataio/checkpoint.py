@@ -44,6 +44,11 @@ def load_map(path: str) -> tuple[MapState, Dict[str, np.ndarray]]:
             k = data["map.kf_mp"].shape[0]
             fields[name] = jnp.zeros((k, 4), jnp.float32)
             continue
+        if key not in data and name == "mp_redirect":
+            # pre-fusion-forwarding checkpoints: no replacements recorded
+            p = data["map.mp_pos"].shape[0]
+            fields[name] = jnp.full((p,), -1, jnp.int32)
+            continue
         fields[name] = jnp.asarray(data[key])
     extra = {k[len("extra."):]: v for k, v in data.items()
              if k.startswith("extra.")}

@@ -415,6 +415,30 @@ def bench_vocab_selectivity(n_worlds: int = 30, n_frames: int = 18,
     return out
 
 
+def bench_mini_asl(n_frames: int = 80, seed: int = 41) -> Dict:
+    """Scored EuRoC-layout drill (round-4 VERDICT Next #7): render a
+    synthetic ground-truth sequence, materialize it as a miniature ASL
+    tree (mav0/cam0 PNGs + csv, epoch-scale nanosecond stamps), then run
+    the REAL dataset-ingest path — euroc.EurocSequence -> bench_euroc —
+    so loader, csv parsing, PNG decode, and timestamp normalization are
+    measured every round, exactly like a real EuRoC run would be
+    (ros/launch/Client0_euroc.launch:6)."""
+    import shutil
+    import tempfile
+    from multi_orbslam3_tpu.dataio import mini_asl, synthetic
+    c = _euroc_scale_config()
+    seq = synthetic.make_sequence(c, n_frames=n_frames, n_points=1200,
+                                  seed=seed, trajectory="forward")
+    root = tempfile.mkdtemp(prefix="mini_asl_")
+    try:
+        mini_asl.write_mini_asl(root, seq)
+        out = bench_euroc(root, n_frames=n_frames) or {}
+        out["layout"] = "asl"
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_euroc(root: str, n_frames: int = 600) -> Optional[Dict]:
     """EuRoC mono run when a dataset directory exists (ASL layout).
     Ground truth from mav0/state_groundtruth_estimate0/data.csv."""

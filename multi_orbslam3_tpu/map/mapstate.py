@@ -70,6 +70,13 @@ class MapState(NamedTuple):
     mp_ref_kf: jnp.ndarray       # (P,) int32 reference keyframe slot
     mp_found: jnp.ndarray        # (P,) int32 found counter
     mp_visible: jnp.ndarray      # (P,) int32 visible counter
+    mp_redirect: jnp.ndarray     # (P,) int32 fusion forwarding pointer
+                                 # (reference MapPoint::GetReplaced,
+                                 # src/MapPoint.cc:367): replace_mappoint
+                                 # records old -> new here so host
+                                 # bookkeeping (server id maps, client
+                                 # mirrors) can follow the survivor;
+                                 # -1 = live (never replaced)
     # --- counters ---
     n_kf: jnp.ndarray            # () int32 next free KF slot
     n_mp: jnp.ndarray           # () int32 next free MP slot
@@ -117,6 +124,7 @@ def empty_map(max_kf: int, max_mp: int, n_feat: int) -> MapState:
         mp_ref_kf=jnp.full((max_mp,), -1, i32),
         mp_found=jnp.zeros(max_mp, i32),
         mp_visible=jnp.zeros(max_mp, i32),
+        mp_redirect=jnp.full((max_mp,), -1, i32),
         n_kf=jnp.int32(0),
         n_mp=jnp.int32(0),
         active_map=jnp.int32(0),
@@ -583,7 +591,10 @@ def replace_mappoint(m: MapState, old: jnp.ndarray, new: jnp.ndarray) -> MapStat
         jnp.where(ok, False, m.mp_valid[jnp.where(ok, old, 0)]))
     found = m.mp_found.at[jnp.where(ok, new, 0)].add(
         jnp.where(ok, m.mp_found[jnp.where(ok, old, 0)], 0))
-    return m._replace(kf_mp=kf_mp, mp_valid=mp_valid, mp_found=found)
+    redirect = m.mp_redirect.at[jnp.where(ok, old, 0)].set(
+        jnp.where(ok, new, m.mp_redirect[jnp.where(ok, old, 0)]))
+    return m._replace(kf_mp=kf_mp, mp_valid=mp_valid, mp_found=found,
+                      mp_redirect=redirect)
 
 
 # ----------------------------------------------------------------------
