@@ -204,13 +204,10 @@ class CollabClient:
             # msg/KF.msg mvpMapPoints_ClientIds) — these cross-agent
             # observations are what lets the server's GBA align the
             # agents' arcs after a merge
-            import os as _os
             is_f = (mp_raw >= 0) & self._is_foreign_mp[np.maximum(mp_raw, 0)]
             mp_server = np.where(
                 is_f, self._foreign_mp_rev[np.maximum(mp_raw, 0)],
                 -1).astype(np.int32)
-            if _os.environ.get("MO3_NO_XASSOC"):
-                mp_server = np.full_like(mp_server, -1)
             mp_local = np.where(is_f, -1, mp_raw)
             # preintegration uplink (the reference ships mpImuPreintegrated
             # + velocity in every KF message, src/KeyFrame.cc

@@ -26,6 +26,7 @@ state (SURVEY.md §7):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -59,6 +60,22 @@ def _arena_chi2_jit(poses, points, obs, K):
     bounded = jnp.minimum(c2, 4.0 * 5.991)
     return jnp.sum(jnp.where(ok, bounded, 0.0)) / jnp.maximum(
         jnp.sum(ok.astype(jnp.int32)), 1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_kf",))
+def _kf_inlier_counts(poses, points, obs, K, max_kf: int):
+    """Per-keyframe (n_valid_obs, n_inlier_obs) at the current geometry
+    (chi2 <= 5.991 two-dof 95% gate, the reference's mono threshold)."""
+    from multi_orbslam3_tpu.opt.local_ba import _chi2, _obs_terms
+    r, _, _, behind = _obs_terms(poses, points, obs, K)
+    c2 = _chi2(r, obs.inv_sigma2)
+    ok = obs.valid & ~behind
+    inl = ok & (c2 <= 5.991)
+    n_ok = jnp.zeros((max_kf,), jnp.int32).at[obs.kf].add(
+        ok.astype(jnp.int32))
+    n_inl = jnp.zeros((max_kf,), jnp.int32).at[obs.kf].add(
+        inl.astype(jnp.int32))
+    return n_ok, n_inl
 
 
 def _compose_g13(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -1364,6 +1381,7 @@ class CollabServer:
         if inert:
             self.stats["vi_windows"] = self.stats.get("vi_windows", 0) + \
                 self.run_inertial_refinement()
+        self._cull_outlier_kfs()
         shared = self._shared_map_ids()
         for mid in shared:
             self._cross_agent_fuse(mid, per_agent=8)
@@ -1534,6 +1552,7 @@ class CollabServer:
         if st["inert"]:
             self.stats["vi_windows"] = self.stats.get("vi_windows", 0) + \
                 self.run_inertial_refinement()
+        self._cull_outlier_kfs()
         # improved geometry exposes more cross-agent duplicates: re-fuse
         # shared sub-maps so the NEXT solve is tighter still
         shared = self._shared_map_ids()
@@ -1737,6 +1756,73 @@ class CollabServer:
         self.kf_imu[sl, pre.FLAT_DIM:] = np.asarray(
             res.velocities)[:n_real]
 
+    def _notify_kfs_erased(self, culled: np.ndarray, before: np.ndarray,
+                           agents_arr: np.ndarray) -> None:
+        """Post-erasure bookkeeping shared by every server-side KF cull
+        path: forward IMU preintegration windows, queue owner erasure
+        notices + tombstones, drop database rows, revoke foreign copies."""
+        remaining = before.copy()       # ascending order: a culled
+        # successor first receives the merge, then forwards its own
+        for slot in culled:
+            a = int(agents_arr[slot])
+            self._merge_preint_forward(int(slot), a,
+                                       valid_mask=remaining)
+            remaining[slot] = False
+            lid = int(self.kf_local[slot])
+            if lid >= 0:
+                self.agents[a].erased_out = getattr(
+                    self.agents[a], "erased_out", []) + [lid]
+                self.agents[a].erased_kf_tomb.add(lid)
+            self.db = dbm.erase_keyframe_bow(self.db, jnp.int32(slot))
+            # revoke from every OTHER client that received this KF as
+            # foreign vicinity content (their copy would go stale
+            # forever otherwise — round-2 VERDICT Missing #8)
+            for b2, book2 in self.agents.items():
+                if b2 != a and int(slot) in book2.sent_foreign_kf:
+                    book2.foreign_erased_kf_out.append(int(slot))
+                    book2.sent_foreign_kf.discard(int(slot))
+
+    def _cull_outlier_kfs(self, min_obs: int = 15,
+                          min_inlier_frac: float = 0.3) -> int:
+        """Erase poisoned keyframes after a global solve: a keyframe
+        whose observations are mostly Huber-saturated OUTLIERS at the
+        solved geometry was minted from a wrong pose (post-loss false
+        recovery, drifting weak tracking). The solver cannot repair it —
+        the robust kernel simply ignores its observations and the pose
+        keeps its error — so a single such keyframe dominates the
+        trajectory metric forever (observed: one 3.7 m outlier KF behind
+        the round-5 bench-scale agent1 plateau). The reference avoids
+        these via its reloc-gated KF policy; with network ingest the
+        server must also defend itself."""
+        m = self.m
+        obs, K_obs, _, _ = self._assemble_gba()
+        n_ok, n_inl = _kf_inlier_counts(m.kf_pose, m.mp_pos, obs, K_obs,
+                                        m.max_kf)
+        n_ok = np.array(n_ok)
+        n_inl = np.array(n_inl)
+        valid = np.array(m.kf_valid)
+        agents_arr = np.array(m.kf_agent)
+        frac = n_inl / np.maximum(n_ok, 1)
+        bad = valid & (n_ok >= min_obs) & (frac < min_inlier_frac)
+        # protect anchors: origins and each agent's newest keyframes
+        for a, book in self.agents.items():
+            own = np.nonzero(valid & (agents_arr == a))[0]
+            if len(own):
+                bad[own[:1]] = False
+                bad[own[-2:]] = False
+            if book.last_kf_slot is not None and book.last_kf_slot >= 0:
+                bad[book.last_kf_slot] = False
+        slots = np.nonzero(bad)[0]
+        if not len(slots):
+            return 0
+        before = valid.copy()
+        for s in slots:
+            self.m = ms.erase_keyframe(self.m, jnp.int32(int(s)))
+        self._notify_kfs_erased(slots, before, agents_arr)
+        self.stats["kf_outlier_culled"] = \
+            self.stats.get("kf_outlier_culled", 0) + len(slots)
+        return len(slots)
+
     def _cull(self) -> None:
         from multi_orbslam3_tpu.pipeline import culling
         # nothing new since the last sweep -> nothing newly redundant
@@ -1762,26 +1848,7 @@ class CollabServer:
         if n_kf > 0:
             after = np.array(self.m.kf_valid)
             culled = np.nonzero(before & ~after)[0]
-            remaining = before.copy()       # ascending order: a culled
-            # successor first receives the merge, then forwards its own
-            for slot in culled:
-                a = int(agents_arr[slot])
-                self._merge_preint_forward(int(slot), a,
-                                           valid_mask=remaining)
-                remaining[slot] = False
-                lid = int(self.kf_local[slot])
-                if lid >= 0:
-                    self.agents[a].erased_out = getattr(
-                        self.agents[a], "erased_out", []) + [lid]
-                    self.agents[a].erased_kf_tomb.add(lid)
-                self.db = dbm.erase_keyframe_bow(self.db, jnp.int32(slot))
-                # revoke from every OTHER client that received this KF as
-                # foreign vicinity content (their copy would go stale
-                # forever otherwise — round-2 VERDICT Missing #8)
-                for b2, book2 in self.agents.items():
-                    if b2 != a and int(slot) in book2.sent_foreign_kf:
-                        book2.foreign_erased_kf_out.append(int(slot))
-                        book2.sent_foreign_kf.discard(int(slot))
+            self._notify_kfs_erased(culled, before, agents_arr)
             self.stats["kf_culled"] = self.stats.get("kf_culled", 0) + n_kf
         if n_mp > 0:
             after_mp = np.array(self.m.mp_valid)
@@ -1918,12 +1985,10 @@ class CollabServer:
             fkf, fmp = self._pack_foreign_vicinity(
                 a, book, snap, covis_by_agent[a], anchors[a])
             fku = fmu2 = None
-            import os as _os
-            no_refresh = bool(_os.environ.get("MO3_NO_FREFRESH"))
             # refresh already-shipped foreign entities the arena moved
             # (GBA / pose graph / welding): stale foreign copies would
             # pull the client's tracking toward the dead gauge
-            if book.sent_foreign_kf and not no_refresh:
+            if book.sent_foreign_kf:
                 sl = np.fromiter(book.sent_foreign_kf, np.int64,
                                  len(book.sent_foreign_kf))
                 sl = sl[snap["kf_valid"][sl]]
@@ -1939,7 +2004,7 @@ class CollabServer:
                         server_id=pick.astype(np.int32),
                         T_abs=snap["kf_pose"][pick])
                     book.f_kf_down[pick] = snap["kf_pose"][pick]
-            if book.sent_foreign_mp and not no_refresh:
+            if book.sent_foreign_mp:
                 sl = np.fromiter(book.sent_foreign_mp, np.int64,
                                  len(book.sent_foreign_mp))
                 sl = sl[snap["mp_valid"][sl]]

@@ -145,13 +145,15 @@ class LoopConfig:
 
 @dataclasses.dataclass(frozen=True)
 class BoWConfig:
-    """Vocabulary tree shape (reference DBoW2 ORBvoc: k=10, L=6; we default to
-
-    k=10, L=4 = 10k words which keeps the database score matmul dense+small).
-    """
+    """Vocabulary tree shape (reference DBoW2 ORBvoc: k=10, L=6,
+    src/ClientSystem.cc:69-77). Default is the bundled k=10 L=5 100k-word
+    artifact — the sparse per-feature database (bow/database.py) makes
+    memory/compute independent of vocabulary size, so scale is bounded
+    only by the tree-descent tables. The 10k L4 artifact remains for
+    small CI configs."""
 
     branching: int = 10
-    levels: int = 4
+    levels: int = 5
     # derived: n_words = branching ** levels
 
 

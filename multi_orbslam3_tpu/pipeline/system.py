@@ -575,7 +575,13 @@ class MonoSlam:
         if self.frames_since_kf < max(1, c.kf_min_interval):
             return False
         if self.frames_since_kf >= c.kf_max_interval:
-            return True
+            # the interval branch still requires decent tracking — the
+            # reference's NeedNewKeyFrame gates EVERY branch on
+            # mnMatchesInliers > 15 (src/Tracking.cc:2813-2950); a
+            # max-interval keyframe minted from a barely-OK frame
+            # enshrines a drifting pose in the map (and, collaboratively,
+            # in the server arena)
+            return n_inliers > 15
         baseline = getattr(self, "_tracked_at_kf", 0) or n_inliers
         return n_inliers < c.kf_tracked_ratio * baseline and n_inliers > 15
 

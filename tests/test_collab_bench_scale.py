@@ -58,11 +58,12 @@ def test_two_agent_server_trajectory_accuracy():
         gt = ate.camera_centers(seqs[a].T_cw[fr])
         span = float(np.linalg.norm(gt.max(0) - gt.min(0)))
         rmse = ate.ate_rmse(est, gt)
-        # gate calibration: the r3 collapse this test guards against was
-        # 0.33 x span; the full-config bench on chip runs at 0.005 x
-        # span; the reduced 256-feature/6-ary-vocabulary CI config
-        # carries ~0.045 x span of honest estimation noise. 0.06 x span
-        # separates the two regimes with margin.
-        assert rmse < 0.06 * max(span, 1.0), (
+        # bench criterion: ATE < 0.02 x span per agent. Standalone mono
+        # on this generator/config runs at 0.012-0.020 x span, and the
+        # full collaborative chain (cross-agent association uplink,
+        # whole-overlap SearchAndFuse, landmark pose locks, post-GBA
+        # outlier-KF culling) measures 0.013-0.015 x span — collaboration
+        # must not degrade the standalone accuracy.
+        assert rmse < 0.02 * max(span, 1.0), (
             f"agent{a} server-trajectory ATE {rmse:.3f} over span "
-            f"{span:.2f} (gate 0.06 x span); stats={server.stats}")
+            f"{span:.2f} (gate 0.02 x span); stats={server.stats}")
