@@ -335,7 +335,24 @@ class CollabClient:
         this, a merge that re-gauges the map splits the client's frame
         in two: old keyframes jump to the server gauge while live
         odometry keeps extending the old one."""
-        payloads = self.transport.poll_down(self.agent)
+        payloads = getattr(self, "_deferred_down", []) + \
+            self.transport.poll_down(self.agent)
+        self._deferred_down = []
+        # weak-tracking deferral: re-basing the whole frame exactly when
+        # the tracker has few inliers (weak-texture stretch, recovery)
+        # amplifies the disturbance into tracking loss — hold the batch
+        # for a few cycles until an OK streak returns (bounded so a
+        # persistently weak tracker still converges to the server state;
+        # the reference's comm thread similarly waits on LockTracking)
+        from multi_orbslam3_tpu.pipeline.system import TrackState
+        weak = self.slam.state != TrackState.OK or \
+            getattr(self.slam, "_ok_streak", 0) < 2
+        if payloads and weak:
+            self._defer_count = getattr(self, "_defer_count", 0) + 1
+            if self._defer_count <= 10:
+                self._deferred_down = payloads
+                return
+        self._defer_count = 0
         if payloads:
             # corrections mutate slam.m — fold in any in-flight deferred
             # mapping result first so adoption can't clobber them
@@ -436,6 +453,11 @@ class CollabClient:
             m = self._apply_foreign_updates(m, delta)
             m = self._ingest_foreign(m, delta)
             self.slam.m = m
+        if payloads:
+            # landmark hold mask for the client's own window BA: foreign
+            # copies and server-locked landmarks are authoritative — the
+            # local solve adapts poses to them instead of re-bending them
+            self.slam.mp_hold = self._is_foreign_mp | self._mp_locked_srv
         if payloads and self._corrected_now:
             self._propagate_correction()
 

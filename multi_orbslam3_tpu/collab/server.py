@@ -417,7 +417,13 @@ class CollabServer:
                 and self._gba_inflight is None \
                 and self.stats["kf_ingested"] - self._last_gba_ingest \
                 >= periodic and self._gba_guard_ok():
-            self.start_global_ba_async(iters=8, cg_iters=40)
+            # full convergence depth, same as the event GBA: a
+            # half-converged solve redistributes error transiently (PCG
+            # mid-trajectory), passes the mean-chi2 gate, and its
+            # adoption tears the owners' live frames (observed: a
+            # periodic 8-iter adoption bending one agent's arc 0.12 ->
+            # 0.37 and triggering a veto storm)
+            self.start_global_ba_async(iters=20, cg_iters=40)
             self._last_gba_ingest = self.stats["kf_ingested"]
         self._cycle_count = getattr(self, "_cycle_count", 0) + 1
         if self._cycle_count % 8 == 0 and self._gba_inflight is None:
@@ -858,7 +864,8 @@ class CollabServer:
             if pending >= 0 and not valid_np[pending]:
                 pending = -1
                 book.pending_cand = -1
-            if float(scores_np[best]) < 0.03 and pending < 0:
+            if float(scores_np[best]) < self.cfg.loop.min_bow_score \
+                    and pending < 0:
                 book.streak = 0
                 book.streak_cand = -1
                 continue
@@ -886,7 +893,8 @@ class CollabServer:
             # (reference DetectNBestCandidates + DetectCommonRegionsFromBoW)
             if book.streak >= self.cfg.loop.consistency_hits:
                 cands = loop_closing.nbest_candidates(
-                    self.m, scores_np, n_best=self.cfg.loop.n_candidates)
+                    self.m, scores_np, n_best=self.cfg.loop.n_candidates,
+                    min_score=self.cfg.loop.min_bow_score)
             else:
                 cands = []
             if pending >= 0:
@@ -1060,10 +1068,15 @@ class CollabServer:
                 # deeper solve after events: the moved map's whole arc
                 # must re-settle against cross-agent observations, not
                 # just the seam window. Time-sliced off the critical
-                # path: one GN step per comm cycle. 20 LM steps: the
+                # path: one LM step per comm cycle. 20 steps: the
                 # post-merge arena measurably converges at ~20 (10 left
-                # half the merge error in place — offline lab, round 5)
-                self.start_global_ba_async(iters=20, cg_iters=40)
+                # half the merge error in place — offline lab, round 5).
+                # Inertial maps converge faster (the metric side is
+                # pinned; only the scale-free arcs move) and their owners
+                # drift-tilt until adoption lands, so latency wins there.
+                ev_iters = 12 if any(
+                    b.inertial for b in self.agents.values()) else 20
+                self.start_global_ba_async(iters=ev_iters, cg_iters=40)
                 self._last_gba_ingest = self.stats["kf_ingested"]
 
     # ------------------------------------------------------------------
@@ -1145,7 +1158,7 @@ class CollabServer:
     def _arena_robust_chi2(self) -> float:
         """Huber-bounded mean reprojection chi2 over every valid arena
         observation (the loop-acceptance quality gate)."""
-        obs, K_obs, _, _ = self._assemble_gba()
+        obs, K_obs, _, _, _ = self._assemble_gba()
         return float(_arena_chi2_jit(self.m.kf_pose, self.m.mp_pos,
                                      obs, K_obs))
 
@@ -1320,7 +1333,7 @@ class CollabServer:
         # gauge: fix the oldest valid KF of every sub-map; in a map with a
         # metric gauge, also fix every inertial agent's keyframes during
         # the VISUAL pass — a visual-only GBA cannot observe scale. Their
-        # refinement happens right after, in run_inertial_refinement(),
+        # refinement happens right after, in run_full_inertial_ba(),
         # where the uplinked preintegration factors hold the metric gauge
         # (the reference's FullInertialBA, src/Optimizer.cc:449).
         fixed = ~np.array(m.kf_valid)
@@ -1329,10 +1342,24 @@ class CollabServer:
             if len(slots):
                 fixed[slots[0]] = True
         inert = [a for a, b in self.agents.items() if b.inertial]
+        point_fixed = None
         if inert:
-            fixed |= np.isin(np.array(m.kf_agent), inert) \
+            kf_inert = np.isin(np.array(m.kf_agent), inert) \
                 & np.array(m.kf_valid)
-        return obs, K_obs, fixed, inert
+            fixed |= kf_inert
+            # metric structure is authoritative in the visual pass: any
+            # landmark an inertial keyframe observes holds still; the
+            # scale-free agents' arcs align TO it (and FullInertialBA
+            # owns its refinement). Without this, cross-agent factors
+            # drag inertial landmarks off the gravity/scale gauge and
+            # the locked downlink ratchets the tilt into the VI client.
+            kf_mp_np = np.array(m.kf_mp)
+            fv = np.array(m.kf_feat_valid)
+            rows = kf_mp_np[kf_inert]
+            rows_ok = fv[kf_inert] & (rows >= 0)
+            point_fixed = np.zeros(m.max_mp, bool)
+            point_fixed[rows[rows_ok]] = True
+        return obs, K_obs, fixed, inert, point_fixed
 
     def run_global_ba(self, iters: int = 6, cg_iters: int = 30,
                       distributed: Optional[bool] = None,
@@ -1347,18 +1374,19 @@ class CollabServer:
         _t_gba0 = time.perf_counter()
         m = self.m
         before_pose = np.array(m.kf_pose)
-        obs, K_obs, fixed, inert = self._assemble_gba()
+        obs, K_obs, fixed, inert, pfix = self._assemble_gba()
+        pfix_j = None if pfix is None else jnp.asarray(pfix)
         if distributed is None:
             distributed = len(jax.devices()) > 1
         if distributed or force_shard:
             res = global_ba.global_bundle_adjust_sharded(
                 m.kf_pose, jnp.asarray(fixed), m.mp_pos, m.mp_valid, obs,
                 K_obs, iters=iters, cg_iters=cg_iters,
-                force_shard=force_shard)
+                force_shard=force_shard, point_fixed=pfix_j)
         else:
             res = global_ba.global_bundle_adjust(
                 m.kf_pose, jnp.asarray(fixed), m.mp_pos, m.mp_valid, obs,
-                K_obs, iters=iters, cg_iters=cg_iters)
+                K_obs, iters=iters, cg_iters=cg_iters, point_fixed=pfix_j)
         c_in, c_out = float(res.chi2_in), float(res.chi2)
         # strict gate: the LM-controlled solve is monotone non-increasing
         # on its own metric, so anything else signals a broken snapshot
@@ -1379,8 +1407,10 @@ class CollabServer:
         # inertial agents' poses/velocities that the visual-only GBA held
         # fixed, with IMU factors holding the metric gauge
         if inert:
-            self.stats["vi_windows"] = self.stats.get("vi_windows", 0) + \
-                self.run_inertial_refinement()
+            # FullInertialBA analog: one joint solve over each inertial
+            # agent's whole chain (Optimizer.cc:449, LoopClosing.cc:2619+)
+            self.stats["vi_solves"] = self.stats.get("vi_solves", 0) + \
+                self.run_full_inertial_ba()
         self._cull_outlier_kfs()
         shared = self._shared_map_ids()
         for mid in shared:
@@ -1391,7 +1421,6 @@ class CollabServer:
         # newest keyframes free (reference locks GBA output,
         # LoopClosing.cc:~2719; freeing the tail keeps the client's live
         # frame and window BA consistent with its fresh odometry)
-        self._queue_event_gauges(before_pose)
         self._mark_corrected_and_lock()
 
     # ------------------------------------------------------------------
@@ -1414,11 +1443,12 @@ class CollabServer:
         if self._gba_inflight is not None:
             return
         m = self.m
-        obs, K_obs, fixed, inert = self._assemble_gba()
+        obs, K_obs, fixed, inert, pfix = self._assemble_gba()
         self._gba_inflight = {
             "poses": m.kf_pose, "points": m.mp_pos,
             "obs": obs, "K_obs": K_obs, "fixed": jnp.asarray(fixed),
             "point_valid": m.mp_valid, "inert": inert,
+            "point_fixed": None if pfix is None else jnp.asarray(pfix),
             "lam": 1e-3,
             "iters_left": int(iters), "cg_iters": int(cg_iters),
             "launch_n_kf": int(m.n_kf), "launch_n_mp": int(m.n_mp),
@@ -1444,7 +1474,9 @@ class CollabServer:
                 res = global_ba.global_bundle_adjust(
                     st["poses"], st["fixed"], st["points"],
                     st["point_valid"], st["obs"], st["K_obs"],
-                    iters=1, cg_iters=st["cg_iters"], lam0=st["lam"])
+                    iters=1,
+                    cg_iters=st["cg_iters"], lam0=st["lam"],
+                    point_fixed=st.get("point_fixed"))
                 st["poses"], st["points"] = res.poses, res.points
                 st["lam"] = res.lam      # LM damping carries across slices
                 st["iters_left"] -= 1
@@ -1452,6 +1484,9 @@ class CollabServer:
                 jax.block_until_ready(st["poses"])
                 self._adopt_gba(st)
                 self._gba_inflight = None
+        # shutdown compaction: with no more frames coming, the newest-KF
+        # protection serves nothing — sweep terminal outliers too
+        self._cull_outlier_kfs(protect_tail=False)
 
     def _poll_gba(self) -> None:
         """Advance the in-flight GBA by at most one GN step (async
@@ -1461,7 +1496,7 @@ class CollabServer:
         if st is None:
             return
         if st["iters_left"] > 0:
-            # don't queue a second step behind an unfinished one — the
+            # don't queue more steps behind an unfinished one — the
             # device would serve GBA back-to-back and starve ingest.
             # deterministic mode (CI) steps every cycle instead: adoption
             # timing is then a pure function of the cycle count, not of
@@ -1471,8 +1506,9 @@ class CollabServer:
                 return
             res = global_ba.global_bundle_adjust(
                 st["poses"], st["fixed"], st["points"], st["point_valid"],
-                st["obs"], st["K_obs"], iters=1, cg_iters=st["cg_iters"],
-                lam0=st["lam"])
+                st["obs"], st["K_obs"], iters=1,
+                cg_iters=st["cg_iters"],
+                lam0=st["lam"], point_fixed=st.get("point_fixed"))
             st.setdefault("chi2_launch", res.chi2_in)
             st["chi2_final"] = res.chi2
             st["poses"], st["points"] = res.poses, res.points
@@ -1550,8 +1586,8 @@ class CollabServer:
             self.stats.get("gba_wall_s", 0.0)
             + (time.perf_counter() - st["t0"]), 3)
         if st["inert"]:
-            self.stats["vi_windows"] = self.stats.get("vi_windows", 0) + \
-                self.run_inertial_refinement()
+            self.stats["vi_solves"] = self.stats.get("vi_solves", 0) + \
+                self.run_full_inertial_ba()
         self._cull_outlier_kfs()
         # improved geometry exposes more cross-agent duplicates: re-fuse
         # shared sub-maps so the NEXT solve is tighter still
@@ -1560,7 +1596,12 @@ class CollabServer:
             self._cross_agent_fuse(mid, per_agent=8)
         if shared:
             self._follow_redirects()
-        self._queue_event_gauges(before, max_slot=launch_nk)
+        # NOTE: no fitted gauge for GBA adoptions — a similarity fitted
+        # to a non-similarity correction misplaces everything the exact
+        # per-entity updates don't cover (observed tearing the owner's
+        # live frame by ~0.5 m); exact corrections + client-side relative
+        # propagation carry GBA results. The gauge channel stays
+        # merge-only, where the Sim3 is exact.
         self._mark_corrected_and_lock()
 
     # ==================================================================
@@ -1660,8 +1701,114 @@ class CollabServer:
                 start += window
         return n_windows
 
+    def _estimate_agent_gravity(self, own: np.ndarray, T_bc: np.ndarray
+                                ) -> Optional[np.ndarray]:
+        """Refine the gravity direction of one agent's arena chain
+        (reference InertialOptimization's VertexGDir refinement,
+        src/Optimizer.cc:5344): the server's world frame is the client's
+        init-time gauge, whose gravity is only as vertical as the init
+        estimate (~1-3 degrees off). Solving FullInertialBA against an
+        ASSUMED -z gravity makes the IMU factors fight the visual
+        evidence and tilts the whole chain by the init error; estimating
+        the direction first (poses fixed, scale pinned) removes the
+        fight. Returns g_w (3,) or None when the chain is too short."""
+        from multi_orbslam3_tpu.imu import preintegration as pre
+        from multi_orbslam3_tpu.opt import inertial_init
+        rows = self.kf_imu[own]
+        ts = np.asarray(self.m.kf_timestamp)[own]
+        gap = np.diff(ts, prepend=ts[0])
+        ok = np.zeros(len(own), bool)
+        ok[1:] = (rows[1:, pre.FLAT_DT] > 0.0) & (
+            np.abs(rows[1:, pre.FLAT_DT] - gap[1:])
+            < 0.25 * np.maximum(gap[1:], 1e-3) + 0.01)
+        # longest contiguous run of valid windows
+        best = (0, 0)
+        start = 0
+        for i in range(1, len(own) + 1):
+            if i == len(own) or not ok[i]:
+                if i - start > best[1] - best[0]:
+                    best = (start, i)
+                start = i
+        a, b = best
+        if b - a < 6:
+            return None
+        sl = own[a:b]
+        T_cw = np.array(self.m.kf_pose)[sl].astype(np.float64)
+        T_wb = np.linalg.inv(np.asarray(T_bc, np.float64)[None] @ T_cw)
+        preints = jax.vmap(pre.flat_to_preint)(
+            jnp.asarray(self.kf_imu[sl, :pre.FLAT_DIM]))
+        G = float(self.cfg.imu.gravity)
+        res = inertial_init.inertial_init(
+            jnp.asarray(T_wb[:, :3, :3], jnp.float32),
+            jnp.asarray(T_wb[:, :3, 3], jnp.float32),
+            preints, G=G, fix_scale=True)
+        R_wg = np.asarray(res.R_wg, np.float64)
+        if not np.all(np.isfinite(R_wg)):
+            return None
+        return (R_wg @ np.array([0.0, 0.0, -G])).astype(np.float32)
+
+    def run_full_inertial_ba(self, iters: int = 8,
+                             max_joint: int = 256) -> int:
+        """Full-arena FullInertialBA analog (reference Optimizer.cc:449:
+        ONE joint solve over ALL of an inertial map's keyframes — poses,
+        velocities, biases — with preintegration + reprojection factors;
+        invoked from RunGlobalBundleAdjustment, LoopClosing.cc:2619+).
+        Replaces the 8-KF windowed sweep after GBA/merges: a windowed
+        pass cannot redistribute error across a whole arc (round-4
+        VERDICT Missing #3). Each agent's chain is padded to a pow2
+        bucket so XLA compiles once per bucket; chains longer than
+        max_joint fall back to the windowed sweep (15*K state would
+        leave the dense-solve regime). Returns solves run."""
+        from multi_orbslam3_tpu.imu import preintegration as pre
+        from multi_orbslam3_tpu.utils.padding import pow2_len
+        valid = np.array(self.m.kf_valid)
+        agents_arr = np.array(self.m.kf_agent)
+        n_solved = 0
+        for a, book in self.agents.items():
+            if not book.inertial:
+                continue
+            own = np.nonzero(valid & (agents_arr == a))[0]
+            has_pre = self.kf_imu[own, pre.FLAT_DT] > 0.0
+            if int(has_pre.sum()) < 2 or len(own) < 4:
+                continue
+            if len(own) > max_joint:
+                n_solved += self.run_inertial_refinement()
+                continue
+            T_bc = book.T_bc if book.T_bc is not None \
+                else np.eye(4, dtype=np.float32)
+            g_est = self._estimate_agent_gravity(own, T_bc)
+            g_w = g_est if g_est is not None else np.array(
+                [0.0, 0.0, -float(self.cfg.imu.gravity)], np.float32)
+            Kw = pow2_len(len(own), lo=16)
+            # landmarks are FREE (the reference's FullInertialBA
+            # optimizes map points too): for an inertial map this IS the
+            # global BA — the visual pass holds inertial poses fixed, so
+            # pinning points would leave nothing to correct the arc
+            # with. In a MERGED map, landmarks carrying OTHER agents'
+            # observations stay pinned per-point (this per-agent solve
+            # cannot see those residuals; the visual GBA owns them) —
+            # the gauge-authority chain is IMU -> this agent's landmarks
+            # -> visual GBA -> the scale-free agents' arcs.
+            pf_global = None
+            if book.map_id in self._shared_map_ids():
+                kf_mp_np = np.array(self.m.kf_mp)
+                fv = np.array(self.m.kf_feat_valid)
+                others = valid & (agents_arr != a)
+                rows = kf_mp_np[others]
+                rows_ok = fv[others] & (rows >= 0)
+                pf_global = np.zeros(self.m.max_mp, bool)
+                pf_global[rows[rows_ok]] = True
+            self._vi_window(own, Kw, T_bc, g_w, iters, n_fixed=1,
+                            n_pts=min(4096, self.m.max_mp),
+                            fix_points=False, point_fixed=pf_global)
+            n_solved += 1
+        return n_solved
+
     def _vi_window(self, sl: np.ndarray, Kw: int, T_bc: np.ndarray,
-                   g_w: np.ndarray, iters: int, n_fixed: int) -> None:
+                   g_w: np.ndarray, iters: int, n_fixed: int,
+                   n_pts: Optional[int] = None,
+                   fix_points: bool = True,
+                   point_fixed: Optional[np.ndarray] = None) -> None:
         """One fixed-shape visual-inertial window over arena slots `sl`
         (padded to Kw by repeating the last slot; pads are pose-fixed and
         carry no observations or inertial pairs)."""
@@ -1692,7 +1839,8 @@ class CollabServer:
         ba = rows[:, pre.FLAT_BA:pre.FLAT_BA + 3]
         sj = jnp.asarray(sl_pad, jnp.int32)
         obs_mp = m.kf_mp[sj]
-        n_pts = self.cfg.local_mapping.local_ba_points
+        if n_pts is None:
+            n_pts = self.cfg.local_mapping.local_ba_points
         uniq = jnp.unique(obs_mp, size=n_pts, fill_value=ms.NO_MP)
         pt_ok = uniq >= 0
         lut = jnp.full((m.max_mp + 1,), -1, jnp.int32)
@@ -1722,11 +1870,16 @@ class CollabServer:
         # observations; the window refines pose/velocity/bias only, with
         # the pinned points anchoring the visual evidence (a tilt of the
         # gravity gauge then shows up as visual chi2 and is reverted)
+        pf_local = None
+        if point_fixed is not None:
+            pf_local = jnp.asarray(point_fixed)[
+                jnp.where(pt_ok, uniq, 0)] | ~pt_ok
         res = inertial_ba.inertial_bundle_adjust(
             m.kf_pose[sj], jnp.asarray(vel), jnp.asarray(bg),
             jnp.asarray(ba), jnp.asarray(fixed), pts0, obs, preints,
             jnp.asarray(pair_valid), K_a, jnp.asarray(g_w),
-            jnp.asarray(T_bc), iters=iters, fix_points=True)
+            jnp.asarray(T_bc), iters=iters, fix_points=fix_points,
+            point_fixed=pf_local)
         if not bool(jnp.all(jnp.isfinite(res.poses))):
             return
         # visual-consistency gate: the IMU factors must not win by
@@ -1742,12 +1895,17 @@ class CollabServer:
         if float(res.chi2) > max(chi0 * 1.2, chi0 + 0.05):
             return
         # write back only the real rows — pads duplicate sl[-1] and would
-        # race the free last row's update. Landmarks were held fixed
-        # (fix_points) so only poses move.
+        # race the free last row's update.
         kf_pose_ext = jnp.concatenate([m.kf_pose, jnp.zeros((1, 4, 4))], 0)
         kf_pose = kf_pose_ext.at[sj[:n_real]].set(
             res.poses[:n_real])[:m.max_kf]
-        self.m = m._replace(kf_pose=kf_pose)
+        upd = {"kf_pose": kf_pose}
+        if not fix_points:
+            # full joint solve (FullInertialBA): landmarks moved too
+            pt_slots = jnp.where(pt_ok, uniq, 0)
+            new_pts = jnp.where(pt_ok[:, None], res.points, pts0)
+            upd["mp_pos"] = m.mp_pos.at[pt_slots].set(new_pts)
+        self.m = m._replace(**upd)
         # refined velocities chain into the next window's anchor (the
         # integration-time biases in the flat rows stay untouched — they
         # are the linearization point bias_corrected_delta corrects from)
@@ -1783,7 +1941,8 @@ class CollabServer:
                     book2.sent_foreign_kf.discard(int(slot))
 
     def _cull_outlier_kfs(self, min_obs: int = 15,
-                          min_inlier_frac: float = 0.3) -> int:
+                          min_inlier_frac: float = 0.3,
+                          protect_tail: bool = True) -> int:
         """Erase poisoned keyframes after a global solve: a keyframe
         whose observations are mostly Huber-saturated OUTLIERS at the
         solved geometry was minted from a wrong pose (post-loss false
@@ -1795,7 +1954,7 @@ class CollabServer:
         these via its reloc-gated KF policy; with network ingest the
         server must also defend itself."""
         m = self.m
-        obs, K_obs, _, _ = self._assemble_gba()
+        obs, K_obs, _, _, _ = self._assemble_gba()
         n_ok, n_inl = _kf_inlier_counts(m.kf_pose, m.mp_pos, obs, K_obs,
                                         m.max_kf)
         n_ok = np.array(n_ok)
@@ -1804,13 +1963,20 @@ class CollabServer:
         agents_arr = np.array(m.kf_agent)
         frac = n_inl / np.maximum(n_ok, 1)
         bad = valid & (n_ok >= min_obs) & (frac < min_inlier_frac)
-        # protect anchors: origins and each agent's newest keyframes
+        # protect anchors: origins and (mid-run) each agent's newest
+        # keyframes — fresh odometry is still being refined. The
+        # shutdown sweep (drain_gba) drops the tail protection: a
+        # poisoned final keyframe minted during a terminal tracking-loss
+        # episode would otherwise be shielded forever and dominate the
+        # exported trajectory.
         for a, book in self.agents.items():
             own = np.nonzero(valid & (agents_arr == a))[0]
             if len(own):
                 bad[own[:1]] = False
-                bad[own[-2:]] = False
-            if book.last_kf_slot is not None and book.last_kf_slot >= 0:
+                if protect_tail:
+                    bad[own[-2:]] = False
+            if protect_tail and book.last_kf_slot is not None \
+                    and book.last_kf_slot >= 0:
                 bad[book.last_kf_slot] = False
         slots = np.nonzero(bad)[0]
         if not len(slots):

@@ -127,6 +127,14 @@ class LoopConfig:
 
     consistency_hits: int = 3        # consecutive KF confirmations
     min_bow_score_ratio: float = 0.75
+    # absolute BoW score floor for loop/merge candidates. Scores shrink
+    # as the vocabulary grows (fewer shared words between genuine
+    # revisits): ~0.05-0.15 true-match scores at 10k words vs ~0.02-0.06
+    # at 100k. The reference uses NO absolute floor (DetectNBestCandidates
+    # ranks groups and lets Sim3+projection verify,
+    # src/KeyFrameDatabase.cc:594); the floor here only prunes hopeless
+    # candidates before the geometric cascade.
+    min_bow_score: float = 0.012
     sim3_ransac_iters: int = 128     # batched hypotheses per round
     sim3_min_inliers: int = 20
     pose_graph_iters: int = 20

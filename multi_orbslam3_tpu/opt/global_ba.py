@@ -53,9 +53,20 @@ def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
                          chi2_th: float = robust.CHI2_MONO,
                          axis_name: Optional[str] = None,
                          point_aligned: bool = False,
-                         lam0=1e-3) -> GBAResult:
+                         lam0=1e-3,
+                         point_fixed: Optional[jnp.ndarray] = None
+                         ) -> GBAResult:
     """poses: (Kc, 4, 4) replicated; points: (P, 3) replicated; obs: the
     LOCAL observation shard. fixed: (Kc,) bool gauge/lock mask.
+
+    point_fixed: optional (P,) bool — landmarks held constant: their
+    observations act as pose-only factors (J_pt zeroed, so Schur
+    elimination treats them as constants and their step is zero). Used
+    to keep METRIC (inertial-observed) structure authoritative during
+    the visual pass — a scale-free agent's observations must align to
+    the metric map, not drag it off its gauge (the reference keeps the
+    inertial gauge through merges, LoopClosing.cc:95-118, and re-solves
+    inertial structure only in FullInertialBA, Optimizer.cc:449).
 
     point_aligned=True asserts every landmark's observations live on ONE
     device (the sharded entry buckets them so). Then all landmark-side
@@ -79,6 +90,9 @@ def global_bundle_adjust(poses: jnp.ndarray, fixed: jnp.ndarray,
     def gn_step(carry, _):
         poses_, points_, lam, c_cur = carry
         r, J_cam, J_pt, behind = _obs_terms(poses_, points_, obs, K)
+        if point_fixed is not None:
+            J_pt = J_pt * (~point_fixed)[obs.pt].astype(
+                J_pt.dtype)[:, None, None]
         c2 = _chi2(r, obs.inv_sigma2)
         w = robust.huber_weight(c2, chi2_th) * obs.inv_sigma2
         w = jnp.where(obs.valid & ~behind, w, 0.0)
@@ -192,7 +206,8 @@ def global_bundle_adjust_sharded(poses, fixed, points, point_valid,
                                  obs: BAObservations, K: cam.PinholeK,
                                  iters: int = 8, cg_iters: int = 40,
                                  devices=None,
-                                 force_shard: bool = False) -> GBAResult:
+                                 force_shard: bool = False,
+                                 point_fixed=None) -> GBAResult:
     """Distributed entry — the distributed Schur-complement reduction of
     BASELINE.json (the reference's server-global FullInertialBA over all
     agents' KFs with namespaced vertex ids, Optimizer.h:104-112, is a
@@ -213,7 +228,8 @@ def global_bundle_adjust_sharded(poses, fixed, points, point_valid,
     n = len(devices)
     if n == 1 and not force_shard:
         return global_bundle_adjust(poses, fixed, points, point_valid,
-                                    obs, K, iters=iters, cg_iters=cg_iters)
+                                    obs, K, iters=iters, cg_iters=cg_iters,
+                                    point_fixed=point_fixed)
     # ---- host-side bucketing: owner(obs) = device of its landmark ----
     P_pts = points.shape[0]
     pt_np = np.asarray(obs.pt)
@@ -256,23 +272,27 @@ def global_bundle_adjust_sharded(poses, fixed, points, point_valid,
     kspec = cam.PinholeK(*([P("obs")] * 4)) if batched_K \
         else cam.PinholeK(*([P()] * 4))
 
+    pf = jnp.zeros(points.shape[0], bool) if point_fixed is None \
+        else jnp.asarray(point_fixed)
+
     @jax.jit
     @robust.f32_matmuls
-    def run(poses, fixed, points, point_valid, obs_in, K_in):
-        def inner(po, fx, pt, pv, o, k):
+    def run(poses, fixed, points, point_valid, obs_in, K_in, pf_in):
+        def inner(po, fx, pt, pv, o, k, pfx):
             return global_bundle_adjust(po, fx, pt, pv, o, k, iters=iters,
                                         cg_iters=cg_iters, axis_name="obs",
-                                        point_aligned=True)
+                                        point_aligned=True,
+                                        point_fixed=pfx)
         return shard_map(
             inner, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), spec, kspec),
+            in_specs=(P(), P(), P(), P(), spec, kspec, P()),
             out_specs=GBAResult(poses=P(), points=P(), chi2=P(),
                                 chi2_in=P(), lam=P()))(
-            poses, fixed, points, point_valid, obs_in, K_in)
+            poses, fixed, points, point_valid, obs_in, K_in, pf_in)
 
     obs_dev = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), obs_p, spec)
     K_dev = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
         K_p, kspec)
-    return run(poses, fixed, points, point_valid, obs_dev, K_dev)
+    return run(poses, fixed, points, point_valid, obs_dev, K_dev, pf)

@@ -92,7 +92,8 @@ def inertial_bundle_adjust(poses: jnp.ndarray, velocities: jnp.ndarray,
                            inertial_weight: float = 1.0,
                            gyro_walk2: float = (1.9e-5) ** 2,
                            acc_walk2: float = (3.0e-3) ** 2,
-                           fix_points: bool = False
+                           fix_points: bool = False,
+                           point_fixed=None
                            ) -> InertialBAResult:
     """poses: (Kw,4,4) T_cw in TEMPORAL order; preints entry i holds the
     window KF[i-1] -> KF[i] (entry 0 unused); pair_valid: (Kw,) whether
@@ -141,6 +142,14 @@ def inertial_bundle_adjust(poses: jnp.ndarray, velocities: jnp.ndarray,
         poses_, v_, bg_, ba_, points_ = carry
         # ---------------- visual part (analytic) ----------------
         r, J_cam6, J_pt, behind = _obs_terms(poses_, points_, obs, K)
+        if point_fixed is not None:
+            # per-point fix mask: observations of fixed landmarks act as
+            # pose-only factors (zeroed point Jacobian -> zero step),
+            # exactly like global_ba.point_fixed. Lets a shared-map
+            # FullInertialBA free THIS agent's landmarks while landmarks
+            # carrying other agents' observations stay pinned.
+            J_pt = J_pt * (~point_fixed)[obs.pt].astype(
+                J_pt.dtype)[:, None, None]
         c2 = _chi2(r, obs.inv_sigma2)
         w = robust.huber_weight(c2, chi2_th) * obs.inv_sigma2
         w = jnp.where(obs.valid & ~behind, w, 0.0)

@@ -460,6 +460,15 @@ class MonoInertialSlam(MonoSlam):
             & m.kf_feat_valid[sl].reshape(-1))
         fixed = jnp.arange(Kw) < n_fixed_prefix
         fixed = fixed | self.m.kf_pose_locked[sl]
+        # hold server-owned landmarks (locked by a correction, or other
+        # agents' foreign copies) at their authoritative positions: the
+        # window must adapt POSES to them, not re-bend them with local
+        # evidence the server's solve already consumed (the collab layer
+        # maintains mp_hold; None for standalone systems)
+        pf_local = None
+        hold = getattr(self, "mp_hold", None)
+        if hold is not None:
+            pf_local = jnp.asarray(hold)[jnp.where(pt_ok, uniq, 0)] | ~pt_ok
         res = inertial_ba.inertial_bundle_adjust(
             m.kf_pose[sl], jnp.asarray(self.kf_velocity[slots]),
             jnp.tile(jnp.asarray(self.bg), (Kw, 1)),
@@ -468,7 +477,8 @@ class MonoInertialSlam(MonoSlam):
             jnp.asarray(pair_valid), self.K, jnp.asarray(self.g_w),
             jnp.asarray(self.T_bc), iters=6,
             gyro_walk2=float(self.calib.gyro_walk2),
-            acc_walk2=float(self.calib.acc_walk2))
+            acc_walk2=float(self.calib.acc_walk2),
+            point_fixed=pf_local)
         # single packed transfer for finiteness gate + host mirrors
         # (+ the PRE-BA pose of the window's last KF: the live-pose
         # update below must be RELATIVE — the BA may run frames after

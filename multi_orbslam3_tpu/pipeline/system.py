@@ -64,7 +64,8 @@ class MonoSlam:
             from multi_orbslam3_tpu.pipeline.loop_closing import LoopCloser
             self.loop_closer = LoopCloser(
                 voc, config.map.max_keyframes,
-                consistency_hits=config.loop.consistency_hits)
+                consistency_hits=config.loop.consistency_hits,
+                min_score=config.loop.min_bow_score)
         else:
             # the reference's clients keep their KeyFrameDatabase for
             # relocalization even with loop closing disabled
@@ -502,7 +503,7 @@ class MonoSlam:
         scores = dbm.query(db, voc, feats.desc, feats.valid,
                            jnp.zeros(self.m.max_kf, bool))
         best = int(jnp.argmax(scores))
-        if float(scores[best]) < 0.02:
+        if float(scores[best]) < self.cfg.loop.min_bow_score:
             return None
         self._rng_key, sub = jax.random.split(self._rng_key)
         res = tracking.relocalize_candidate(

@@ -39,8 +39,10 @@ def test_checkpoint_roundtrip(tmp_path):
         assert np.array_equal(a, b), name
     assert np.array_equal(fresh.kf_map, server.kf_map)
     assert np.array_equal(fresh.kf_local, server.kf_local)
-    assert np.array_equal(np.asarray(fresh.db.bow),
-                          np.asarray(server.db.bow))
+    assert np.array_equal(np.asarray(fresh.db.word),
+                          np.asarray(server.db.word))
+    assert np.allclose(np.asarray(fresh.db.norm),
+                       np.asarray(server.db.norm))
     fb = fresh.agents[0]
     assert fb.kf_l2s == {3: 7, 4: 9} and fb.mp_l2s == {10: 20}
     assert fb.map_id == 1 and fb.inertial and fb.next_seq == 17

@@ -200,7 +200,8 @@ class TestGlobalBA:
                     kf=P("obs"), pt=P("obs"), uv=P("obs"),
                     inv_sigma2=P("obs"), valid=P("obs")),),
                 out_specs=global_ba.GBAResult(
-                    poses=P(), points=P(), chi2=P(), chi2_in=P()))(obs_in)
+                    poses=P(), points=P(), chi2=P(), chi2_in=P(),
+                    lam=P()))(obs_in)
 
         res_d = run(poses0, pts0, obs_p)
         res_s = global_ba.global_bundle_adjust(
